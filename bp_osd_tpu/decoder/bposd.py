@@ -1,0 +1,236 @@
+"""User-facing decoder classes: ``BpOsdDecoder`` / ``bposd_decoder``.
+
+Drop-in replacements for the native classes the reference imports from
+``ldpc`` (v2 name ``BpOsdDecoder`` at reference ``css_decode_sim.py:6``; v1
+spelling ``bposd_decoder`` re-exported at reference ``__init__.py:1`` and
+used in reference ``README.md:155-216``).  Constructor surface, attribute
+protocol (``bp_decoding``, ``osd0_decoding``, ``osdw_decoding``,
+``converge``, ``log_prob_ratios``, ``update_channel_probs``) and decode
+semantics follow the reference call sites; internally everything is a single
+jit-compiled batched function — ``decode()`` is just ``decode_batch`` with a
+batch of one, and the Monte-Carlo harness feeds thousands of syndromes per
+call.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from .bp import BPResult, bp_decode, llr_from_channel, normalize_bp_method
+from .osd import normalize_osd_method, osd_decode
+from .tanner import TannerGraph
+
+__all__ = ["BpDecoder", "BpOsdDecoder", "bp_decoder", "bposd_decoder"]
+
+
+def _as_channel_probs(n, error_rate, channel_probs, error_channel):
+    """Resolve the per-qubit error channel from ctor args.
+
+    v1 ``channel_probs=[None]`` means "unset, use scalar error_rate"
+    (reference ``README.md:181-182``); v2 spells it ``error_channel``.
+    """
+    for vec in (channel_probs, error_channel):
+        if vec is None:
+            continue
+        arr = np.asarray(vec).ravel()
+        if arr.dtype == object:
+            if all(v is None for v in arr):
+                continue  # v1 sentinel [None] = unset
+            arr = arr.astype(np.float64)
+        else:
+            arr = arr.astype(np.float64)
+        if arr.size == n:
+            return arr
+        raise ValueError(
+            f"channel probability vector has length {arr.size}, expected {n}"
+        )
+    if error_rate is None:
+        raise ValueError("provide either error_rate or channel_probs/error_channel")
+    return np.full(n, float(error_rate))
+
+
+class BpDecoder:
+    """Belief-propagation syndrome decoder (no post-processing)."""
+
+    def __init__(
+        self,
+        parity_check_matrix,
+        error_rate: float | None = None,
+        max_iter: int = 0,
+        bp_method: str = "minimum_sum",
+        ms_scaling_factor: float = 1.0,
+        channel_probs=None,
+        error_channel=None,
+        input_vector_type: str = "syndrome",
+        **unused,
+    ):
+        if sp.issparse(parity_check_matrix):
+            H = parity_check_matrix.toarray()
+        else:
+            H = np.asarray(parity_check_matrix)
+        self.graph = TannerGraph(H)
+        self.m, self.n = self.graph.m, self.graph.n
+        self.bp_method = normalize_bp_method(bp_method)
+        self.max_iter = int(max_iter) if max_iter else self.graph.n
+        self.ms_scaling_factor = float(ms_scaling_factor)
+        self.channel_probs = _as_channel_probs(
+            self.n, error_rate, channel_probs, error_channel
+        )
+        self.error_rate = error_rate
+
+        # per-decode outputs (single-syndrome attribute protocol)
+        self.bp_decoding = np.zeros(self.n, dtype=np.uint8)
+        self.log_prob_ratios = np.zeros(self.n, dtype=np.float32)
+        self.converge = 0
+        self.iter = 0
+
+        self._jit_cache: dict = {}
+
+    # -- channel management -------------------------------------------------
+
+    def update_channel_probs(self, probs) -> None:
+        """Swap the prior channel without recompilation (reference
+        ``css_decode_sim.py:229,248``)."""
+        probs = np.asarray(probs, dtype=np.float64).ravel()
+        if probs.size != self.n:
+            raise ValueError(f"expected {self.n} probabilities, got {probs.size}")
+        self.channel_probs = probs
+
+    def _llr0(self, channel_probs=None):
+        probs = self.channel_probs if channel_probs is None else channel_probs
+        return llr_from_channel(np.asarray(probs))
+
+    # -- decoding -----------------------------------------------------------
+
+    def _bp_fn(self, batch: int):
+        key = ("bp", batch)
+        if key not in self._jit_cache:
+            graph = self.graph
+
+            def fn(syndromes, llr0):
+                return bp_decode(
+                    graph,
+                    syndromes,
+                    llr0,
+                    bp_method=self.bp_method,
+                    max_iter=self.max_iter,
+                    ms_scaling_factor=self.ms_scaling_factor,
+                )
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def decode_batch(self, syndromes, channel_probs=None) -> np.ndarray:
+        syndromes = np.atleast_2d(np.asarray(syndromes))
+        B = syndromes.shape[0]
+        res: BPResult = self._bp_fn(B)(syndromes, self._llr0(channel_probs))
+        self.bp_decoding_batch = np.asarray(res.hard)
+        self.log_prob_ratios_batch = np.asarray(res.llr)
+        self.converge_batch = np.asarray(res.converged)
+        self.iter_batch = np.asarray(res.iterations)
+        return self.bp_decoding_batch
+
+    def decode(self, syndrome) -> np.ndarray:
+        out = self.decode_batch(np.asarray(syndrome).reshape(1, -1))
+        self.bp_decoding = out[0]
+        self.log_prob_ratios = self.log_prob_ratios_batch[0]
+        self.converge = int(self.converge_batch[0])
+        self.iter = int(self.iter_batch[0])
+        return self.bp_decoding
+
+
+class BpOsdDecoder(BpDecoder):
+    """BP decoding with OSD post-processing (the reference's workhorse).
+
+    Constructor arguments mirror the native decoder (reference
+    ``css_decode_sim.py:444-452`` and ``README.md:181-187``).  ``decode``
+    returns the OSD-w decoding and populates ``bp_decoding``,
+    ``osd0_decoding``, ``osdw_decoding``, ``converge`` — when BP converges,
+    OSD is bypassed and all three decodings coincide.
+    """
+
+    def __init__(
+        self,
+        parity_check_matrix,
+        error_rate: float | None = None,
+        max_iter: int = 0,
+        bp_method: str = "minimum_sum",
+        ms_scaling_factor: float = 1.0,
+        channel_probs=None,
+        error_channel=None,
+        osd_method: str = "osd_0",
+        osd_order: int = 0,
+        **unused,
+    ):
+        super().__init__(
+            parity_check_matrix,
+            error_rate=error_rate,
+            max_iter=max_iter,
+            bp_method=bp_method,
+            ms_scaling_factor=ms_scaling_factor,
+            channel_probs=channel_probs,
+            error_channel=error_channel,
+        )
+        self.osd_method = normalize_osd_method(osd_method)
+        self.osd_order = int(osd_order)
+        self.osd0_decoding = np.zeros(self.n, dtype=np.uint8)
+        self.osdw_decoding = np.zeros(self.n, dtype=np.uint8)
+
+    def _bposd_fn(self, batch: int):
+        key = ("bposd", batch)
+        if key not in self._jit_cache:
+            graph = self.graph
+
+            def fn(syndromes, llr0):
+                bp = bp_decode(
+                    graph,
+                    syndromes,
+                    llr0,
+                    bp_method=self.bp_method,
+                    max_iter=self.max_iter,
+                    ms_scaling_factor=self.ms_scaling_factor,
+                )
+                osd = osd_decode(
+                    graph,
+                    syndromes,
+                    bp.llr,
+                    osd_method=self.osd_method,
+                    osd_order=self.osd_order,
+                )
+                keep_bp = bp.converged[:, None]
+                osd0 = jnp.where(keep_bp, bp.hard, osd.osd0)
+                osdw = jnp.where(keep_bp, bp.hard, osd.osdw)
+                return bp, osd0, osdw
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def decode_batch(self, syndromes, channel_probs=None) -> np.ndarray:
+        syndromes = np.atleast_2d(np.asarray(syndromes))
+        B = syndromes.shape[0]
+        bp, osd0, osdw = self._bposd_fn(B)(syndromes, self._llr0(channel_probs))
+        self.bp_decoding_batch = np.asarray(bp.hard)
+        self.log_prob_ratios_batch = np.asarray(bp.llr)
+        self.converge_batch = np.asarray(bp.converged)
+        self.iter_batch = np.asarray(bp.iterations)
+        self.osd0_decoding_batch = np.asarray(osd0)
+        self.osdw_decoding_batch = np.asarray(osdw)
+        return self.osdw_decoding_batch
+
+    def decode(self, syndrome) -> np.ndarray:
+        out = self.decode_batch(np.asarray(syndrome).reshape(1, -1))
+        self.bp_decoding = self.bp_decoding_batch[0]
+        self.log_prob_ratios = self.log_prob_ratios_batch[0]
+        self.converge = int(self.converge_batch[0])
+        self.iter = int(self.iter_batch[0])
+        self.osd0_decoding = self.osd0_decoding_batch[0]
+        self.osdw_decoding = self.osdw_decoding_batch[0]
+        return self.osdw_decoding
+
+
+# v1 spellings (reference ``__init__.py:1`` re-export and README usage)
+bposd_decoder = BpOsdDecoder
+bp_decoder = BpDecoder
