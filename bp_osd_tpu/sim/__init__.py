@@ -1,1 +1,3 @@
-"""bp_osd_tpu.sim"""
+from .css_decode_sim import css_decode_sim
+
+__all__ = ["css_decode_sim"]
