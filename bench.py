@@ -1,0 +1,100 @@
+"""Headline benchmark: flagship [[400,16,6]] BP+OSD decode throughput.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Workload = BASELINE.md row 3: the [[400,16,6]] MKMN hypergraph-product code
+at p = 0.05, min-sum with the variable scaling factor (ms_scaling_factor=0),
+osd_cs order 7, decoding a large syndrome batch on one chip (the reference's
+headline example, reference ``examples/qldpc_decode_example.py:5-23``,
+decodes the same code one syndrome at a time in Cython).
+
+The baseline constant below is an *estimate* of the reference's CPU
+throughput on this workload (BASELINE.md: the repo publishes no numbers and
+the ``ldpc`` native package is not installed here, so it cannot be measured
+in this environment).  Single-syndrome Cython BP+OSD on an n=400 qLDPC code
+runs on the order of 1e3 decodes/s; vs_baseline uses that figure.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_CPU_SYNDROMES_PER_SEC = 1000.0  # documented estimate, see docstring
+
+
+def main():
+    import jax
+
+    from bp_osd_tpu.codes import hgp, mkmn_16_4_6
+    from bp_osd_tpu.decoder import (
+        TannerGraph,
+        bp_decode,
+        llr_from_channel,
+        osd_decode,
+    )
+
+    qcode = hgp(mkmn_16_4_6())
+    graph = TannerGraph(qcode.hx.toarray())
+    p = 0.05
+    B = 8192  # syndromes per dispatch
+    steps = 8  # timed dispatches (total 65536 syndromes)
+
+    import jax.numpy as jnp
+
+    def decode_step(syndromes, llr0):
+        bp = bp_decode(
+            graph,
+            syndromes,
+            llr0,
+            bp_method="minimum_sum",
+            max_iter=32,
+            ms_scaling_factor=0.0,
+        )
+        osd = osd_decode(graph, syndromes, bp.llr, osd_method="osd_cs", osd_order=7)
+        keep = bp.converged[:, None]
+        osdw = jnp.where(keep, bp.hard, osd.osdw)
+        # reduce on-device so the host transfer is O(B), not O(B*n)
+        return jnp.sum(osdw, axis=1), jnp.sum(bp.converged)
+
+    jitted = jax.jit(decode_step)
+
+    rng = np.random.default_rng(0)
+    llr0 = np.broadcast_to(
+        np.asarray(llr_from_channel(np.full(graph.n, p))), (B, graph.n)
+    ).copy()
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        errors = (r.random((B, graph.n)) < p).astype(np.uint8)
+        return (errors @ graph.H.T % 2).astype(np.uint8)
+
+    batches = [make_batch(s) for s in range(steps)]
+
+    # warmup / compile
+    w, conv = jitted(batches[0], llr0)
+    w.block_until_ready()
+
+    t0 = time.perf_counter()
+    for s in range(steps):
+        w, conv = jitted(batches[s], llr0)
+    w.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    syndromes_per_sec = steps * B / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "syndromes_per_sec_[[400,16,6]]_p0.05_ms0_osdcs7",
+                "value": round(syndromes_per_sec, 1),
+                "unit": "syndromes/s/chip",
+                "vs_baseline": round(
+                    syndromes_per_sec / REFERENCE_CPU_SYNDROMES_PER_SEC, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

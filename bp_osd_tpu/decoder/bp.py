@@ -74,18 +74,26 @@ class BPResult(NamedTuple):
     iterations: jnp.ndarray  # [B] int32 iteration of first convergence (or last)
 
 
+_BIG = jnp.float32(1e30)  # finite +inf stand-in (friendlier to the TPU AOT compiler)
+
+
 def _check_update_min_sum(v2c, chk_mask, syn_sign, alpha):
-    """Scaled min-sum check-node update with self-exclusion via min1/min2."""
-    sgn = jnp.where(v2c < 0, -1.0, 1.0)
-    sgn = jnp.where(chk_mask, sgn, 1.0)
-    mag = jnp.where(chk_mask, jnp.abs(v2c), jnp.inf)
-    prod_sgn = jnp.prod(sgn, axis=-1, keepdims=True)
-    excl_sgn = prod_sgn * sgn  # signs are +-1 so dividing == multiplying
-    min1 = jnp.min(mag, axis=-1, keepdims=True)
-    amin = jnp.argmin(mag, axis=-1)
+    """Scaled min-sum check-node update with self-exclusion via min1/min2.
+
+    Sign products are computed as integer parities of negative-message
+    counts and the argmin mask as an iota comparison — pure VPU-friendly
+    primitives.
+    """
     wr = v2c.shape[-1]
-    is_min = jax.nn.one_hot(amin, wr, dtype=bool)
-    min2 = jnp.min(jnp.where(is_min, jnp.inf, mag), axis=-1, keepdims=True)
+    neg = ((v2c < 0) & chk_mask).astype(jnp.int32)
+    neg_total = jnp.sum(neg, axis=-1, keepdims=True)
+    excl_sgn = (1 - 2 * ((neg_total - neg) & 1)).astype(jnp.float32)
+    mag = jnp.where(chk_mask, jnp.abs(v2c), _BIG)
+    min1 = jnp.min(mag, axis=-1, keepdims=True)
+    amin = jnp.argmin(mag, axis=-1, keepdims=True)
+    slot = jax.lax.broadcasted_iota(jnp.int32, v2c.shape, v2c.ndim - 1)
+    is_min = slot == amin
+    min2 = jnp.min(jnp.where(is_min, _BIG, mag), axis=-1, keepdims=True)
     excl_min = jnp.where(is_min, min2, min1)
     return syn_sign * excl_sgn * alpha * excl_min
 

@@ -20,7 +20,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .bp import BPResult, bp_decode, llr_from_channel, normalize_bp_method
-from .osd import normalize_osd_method, osd_decode
+from .osd import build_osd_consts, normalize_osd_method, osd_decode
 from .tanner import TannerGraph
 
 __all__ = ["BpDecoder", "BpOsdDecoder", "bp_decoder", "bposd_decoder"]
@@ -106,11 +106,12 @@ class BpDecoder:
     # -- decoding -----------------------------------------------------------
 
     def _bp_fn(self, batch: int):
-        key = ("bp", batch)
+        # graph is a pytree ARGUMENT, not a closure: embedded constant
+        # arrays hang the TPU AOT compiler (see TannerGraph docstring)
+        key = "bp"
         if key not in self._jit_cache:
-            graph = self.graph
 
-            def fn(syndromes, llr0):
+            def fn(graph, syndromes, llr0):
                 return bp_decode(
                     graph,
                     syndromes,
@@ -126,7 +127,9 @@ class BpDecoder:
     def decode_batch(self, syndromes, channel_probs=None) -> np.ndarray:
         syndromes = np.atleast_2d(np.asarray(syndromes))
         B = syndromes.shape[0]
-        res: BPResult = self._bp_fn(B)(syndromes, self._llr0(channel_probs))
+        res: BPResult = self._bp_fn(B)(
+            self.graph, syndromes, self._llr0(channel_probs)
+        )
         self.bp_decoding_batch = np.asarray(res.hard)
         self.log_prob_ratios_batch = np.asarray(res.llr)
         self.converge_batch = np.asarray(res.converged)
@@ -176,15 +179,17 @@ class BpOsdDecoder(BpDecoder):
         )
         self.osd_method = normalize_osd_method(osd_method)
         self.osd_order = int(osd_order)
+        self._osd_consts = build_osd_consts(self.graph, self.osd_method, self.osd_order)
         self.osd0_decoding = np.zeros(self.n, dtype=np.uint8)
         self.osdw_decoding = np.zeros(self.n, dtype=np.uint8)
 
     def _bposd_fn(self, batch: int):
-        key = ("bposd", batch)
+        # graph + OSD candidate tables are pytree ARGUMENTS, not closures
+        # (embedded constants hang the TPU AOT compiler)
+        key = "bposd"
         if key not in self._jit_cache:
-            graph = self.graph
 
-            def fn(syndromes, llr0):
+            def fn(graph, syndromes, llr0, osd_consts):
                 bp = bp_decode(
                     graph,
                     syndromes,
@@ -199,6 +204,7 @@ class BpOsdDecoder(BpDecoder):
                     bp.llr,
                     osd_method=self.osd_method,
                     osd_order=self.osd_order,
+                    consts=osd_consts,
                 )
                 keep_bp = bp.converged[:, None]
                 osd0 = jnp.where(keep_bp, bp.hard, osd.osd0)
@@ -211,7 +217,9 @@ class BpOsdDecoder(BpDecoder):
     def decode_batch(self, syndromes, channel_probs=None) -> np.ndarray:
         syndromes = np.atleast_2d(np.asarray(syndromes))
         B = syndromes.shape[0]
-        bp, osd0, osdw = self._bposd_fn(B)(syndromes, self._llr0(channel_probs))
+        bp, osd0, osdw = self._bposd_fn(B)(
+            self.graph, syndromes, self._llr0(channel_probs), self._osd_consts
+        )
         self.bp_decoding_batch = np.asarray(bp.hard)
         self.log_prob_ratios_batch = np.asarray(bp.llr)
         self.converge_batch = np.asarray(bp.converged)

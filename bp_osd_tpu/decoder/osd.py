@@ -53,6 +53,19 @@ OSD_METHODS = {
     "combination_sweep": "osd_cs",
 }
 
+
+class OsdConsts(NamedTuple):
+    """Host-built candidate-search tables, passed through jit as arguments.
+
+    NEVER close over these inside a TPU-jitted function: embedded constant
+    arrays feeding broadcast+reduce fusions hang the TPU AOT compiler (see
+    TannerGraph docstring).
+    """
+
+    patterns: object = None  # osd_e: [C, lam] uint8 bit patterns
+    pattern_weights: object = None  # osd_e: [C] int32 popcounts
+    pairs: object = None  # osd_cs: [C2, 2] int32 (i < j) index pairs
+
 _MAX_OSD_E_ORDER = 16
 _CAND_BLOCK = 256  # candidates per matmul block in the osd_e search
 
@@ -69,6 +82,21 @@ def normalize_osd_method(osd_method) -> str:
 class OsdResult(NamedTuple):
     osd0: jnp.ndarray  # [B, n] uint8
     osdw: jnp.ndarray  # [B, n] uint8
+
+
+def build_osd_consts(graph: "TannerGraph", osd_method, osd_order: int) -> OsdConsts:
+    """Precompute the candidate tables for a (method, order, graph) config."""
+    method = normalize_osd_method(osd_method)
+    k = graph.n - graph.rank
+    if method == "osd0" or osd_order == 0 or k == 0:
+        return OsdConsts()
+    if method == "osd_e":
+        P, pw = _exhaustive_patterns(min(int(osd_order), k))
+        return OsdConsts(patterns=P, pattern_weights=pw)
+    lam = min(int(osd_order), k)
+    if lam >= 2:
+        return OsdConsts(pairs=_pair_indices(lam))
+    return OsdConsts()
 
 
 @lru_cache(maxsize=None)
@@ -218,7 +246,7 @@ def _scatter_solution(n, pivot_ids, e_pivots, t_cols=None, e_t=None):
     return e
 
 
-def _search_osd_e(order, s_rows, t_bits):
+def _search_osd_e(order, s_rows, t_bits, patterns, pattern_weights):
     """Exhaustive search over 2^order patterns on the first ``order`` T-bits.
 
     Returns (best_weight_index_pattern [B, k_active], e_pivots [B, r]).
@@ -226,14 +254,12 @@ def _search_osd_e(order, s_rows, t_bits):
     sums are bounded by ``order`` << 2^24.
     """
     B, r, k = t_bits.shape
-    lam = min(order, k)
-    P, pw = _exhaustive_patterns(lam)
-    C = P.shape[0]
+    C, lam = patterns.shape
     t_active = t_bits[:, :, :lam].astype(jnp.float32)  # [B, r, lam]
     s_f = s_rows.astype(jnp.float32)
 
-    Pj = jnp.asarray(P, jnp.float32)
-    pwj = jnp.asarray(pw)
+    Pj = patterns.astype(jnp.float32)
+    pwj = jnp.asarray(pattern_weights)
 
     nblk = -(-C // _CAND_BLOCK)
     pad = nblk * _CAND_BLOCK - C
@@ -255,7 +281,7 @@ def _search_osd_e(order, s_rows, t_bits):
     weights = jnp.moveaxis(weights, 0, 1).reshape(B, nblk * _CAND_BLOCK)
     best = jnp.argmin(weights, axis=1)  # first minimum wins ties
 
-    p_best = jnp.asarray(P, jnp.int32)[best]  # [B, lam]
+    p_best = patterns.astype(jnp.int32)[best]  # [B, lam]
     e_piv = (
         jnp.einsum(
             "bl,brl->br",
@@ -269,7 +295,7 @@ def _search_osd_e(order, s_rows, t_bits):
     return pattern, e_piv
 
 
-def _search_osd_cs(order, s_rows, t_bits):
+def _search_osd_cs(order, s_rows, t_bits, pairs):
     """Combination-sweep: weight-1 over all of T, weight-2 over first ``order``.
 
     Bit-packed along the row axis: candidate residuals are XORs of packed
@@ -277,7 +303,6 @@ def _search_osd_cs(order, s_rows, t_bits):
     than a dense parity matmul.
     """
     B, r, k = t_bits.shape
-    lam = min(order, k)
 
     s_pack = _pack_bits_u32(s_rows, r)  # [B, Ws]
     # pack columns: [B, k, r] bits -> [B, k, Ws]
@@ -286,14 +311,12 @@ def _search_osd_cs(order, s_rows, t_bits):
     w0 = _popcount_sum(s_pack)  # [B]
     w1 = _popcount_sum(s_pack[:, None, :] ^ cols_pack) + 1  # [B, k]
 
-    if lam >= 2:
-        pairs = jnp.asarray(_pair_indices(lam))  # [C2, 2]
+    if pairs is not None:
         ci = cols_pack[:, pairs[:, 0], :]  # [B, C2, Ws]
         cj = cols_pack[:, pairs[:, 1], :]
         w2 = _popcount_sum(s_pack[:, None, :] ^ ci ^ cj) + 2  # [B, C2]
         weights = jnp.concatenate([w0[:, None], w1, w2], axis=1)
     else:
-        pairs = None
         weights = jnp.concatenate([w0[:, None], w1], axis=1)
 
     best = jnp.argmin(weights, axis=1)  # candidate order: zero, w1, w2
@@ -331,14 +354,24 @@ def osd_decode(
     *,
     osd_method: str = "osd0",
     osd_order: int = 0,
+    consts: OsdConsts | None = None,
 ) -> OsdResult:
-    """Run OSD on a batch given BP soft outputs ``llr`` ([B, n])."""
+    """Run OSD on a batch given BP soft outputs ``llr`` ([B, n]).
+
+    ``consts`` are the host-built candidate tables from
+    :func:`build_osd_consts`.  When jitting on TPU, build them outside and
+    pass them *through* the jit boundary as arguments (embedded constants
+    hang the TPU AOT compiler); if omitted they are built at trace time,
+    which is fine on CPU.
+    """
     method = normalize_osd_method(osd_method)
     if method == "osd_e" and osd_order > _MAX_OSD_E_ORDER:
         raise ValueError(
             f"osd_e order {osd_order} would enumerate 2^{osd_order} patterns; "
             f"max supported is {_MAX_OSD_E_ORDER} (use osd_cs for deep search)"
         )
+    if consts is None:
+        consts = build_osd_consts(graph, method, osd_order)
     n, r = graph.n, graph.rank
 
     synd = jnp.asarray(syndromes).astype(jnp.int32)
@@ -356,9 +389,15 @@ def osd_decode(
     else:
         t_cols, t_bits = _extract_t_columns(graph, h_work, perm, pivot_mask)
         if method == "osd_e":
-            pattern, e_piv = _search_osd_e(osd_order, s_rows, t_bits)
+            pattern, e_piv = _search_osd_e(
+                osd_order, s_rows, t_bits,
+                jnp.asarray(consts.patterns), jnp.asarray(consts.pattern_weights),
+            )
         else:
-            pattern, e_piv = _search_osd_cs(osd_order, s_rows, t_bits)
+            pairs = (
+                jnp.asarray(consts.pairs) if consts.pairs is not None else None
+            )
+            pattern, e_piv = _search_osd_cs(osd_order, s_rows, t_bits, pairs)
         e_w = _scatter_solution(n, pivot_ids, e_piv, t_cols, pattern)
 
     return OsdResult(osd0=e0.astype(jnp.uint8), osdw=e_w.astype(jnp.uint8))

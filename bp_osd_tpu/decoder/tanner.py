@@ -19,6 +19,7 @@ data-dependent shapes anywhere, so XLA tiles everything onto the VPU.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from .. import gf2
@@ -26,8 +27,17 @@ from .. import gf2
 __all__ = ["TannerGraph"]
 
 
+@jax.tree_util.register_pytree_node_class
 class TannerGraph:
-    """Static decode-time layout of a parity-check matrix."""
+    """Static decode-time layout of a parity-check matrix.
+
+    Registered as a JAX pytree so a graph can be passed *as an argument*
+    through ``jax.jit`` — its index arrays then become program parameters
+    rather than HLO-embedded literal constants.  This is load-bearing on
+    TPU: the AOT compiler pathologically hangs on large embedded constants
+    feeding broadcast+reduce fusions (observed on v5e; constants-as-args
+    compile in under a second).
+    """
 
     def __init__(self, H):
         Hd = gf2.to_dense(H)
@@ -79,3 +89,29 @@ class TannerGraph:
             f"TannerGraph(m={self.m}, n={self.n}, edges={self.num_edges}, "
             f"wr={self.wr}, wc={self.wc}, rank={self.rank})"
         )
+
+    # -- pytree protocol ----------------------------------------------------
+
+    _LEAF_FIELDS = (
+        "chk_var",
+        "chk_mask",
+        "var_edge",
+        "var_mask",
+        "H_packed",
+    )
+    _AUX_FIELDS = ("m", "n", "wr", "wc", "num_words", "rank", "num_edges")
+
+    def tree_flatten(self):
+        leaves = tuple(getattr(self, f) for f in self._LEAF_FIELDS)
+        aux = tuple(getattr(self, f) for f in self._AUX_FIELDS)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        for f, v in zip(cls._AUX_FIELDS, aux):
+            setattr(obj, f, v)
+        for f, v in zip(cls._LEAF_FIELDS, leaves):
+            setattr(obj, f, v)
+        obj.H = None  # dense host matrix not carried through traces
+        return obj

@@ -205,14 +205,24 @@ class css_decode_sim:
             osd_order=int(self.osd_order),
         )
 
-        hx_d = jnp.asarray(self.hx.toarray(), jnp.float32)
-        hz_d = jnp.asarray(self.hz.toarray(), jnp.float32)
-        lx_d = jnp.asarray(self.lx.toarray(), jnp.float32)
-        lz_d = jnp.asarray(self.lz.toarray(), jnp.float32)
-        pcx = jnp.asarray(self.channel_probs_x, jnp.float32)
-        pcy = jnp.asarray(self.channel_probs_y, jnp.float32)
-        pcz = jnp.asarray(self.channel_probs_z, jnp.float32)
-        graph_z, graph_x = self._graph_z, self._graph_x
+        # all code matrices / channel vectors / graph layouts travel through
+        # jit as ARGUMENTS (embedded constant arrays hang the TPU AOT
+        # compiler — see TannerGraph docstring)
+        from ..decoder.osd import build_osd_consts
+
+        self._sim_consts = {
+            "graph_z": self._graph_z,
+            "graph_x": self._graph_x,
+            "osd_z": build_osd_consts(self._graph_z, self.osd_method, int(self.osd_order)),
+            "osd_x": build_osd_consts(self._graph_x, self.osd_method, int(self.osd_order)),
+            "hx": np.asarray(self.hx.toarray(), np.float32),
+            "hz": np.asarray(self.hz.toarray(), np.float32),
+            "lx": np.asarray(self.lx.toarray(), np.float32),
+            "lz": np.asarray(self.lz.toarray(), np.float32),
+            "pcx": np.asarray(self.channel_probs_x, np.float32),
+            "pcy": np.asarray(self.channel_probs_y, np.float32),
+            "pcz": np.asarray(self.channel_probs_z, np.float32),
+        }
         bp_kwargs, osd_kwargs = self._bp_kwargs, self._osd_kwargs
         channel_update = self.channel_update
         B = int(self.batch_size)
@@ -224,9 +234,9 @@ class css_decode_sim:
             )
             return jnp.mod(prod, 2.0).astype(jnp.int32)
 
-        def decode_side(graph, synd, channel_probs):
+        def decode_side(graph, osd_consts, synd, channel_probs):
             bp = bp_decode(graph, synd, llr_from_channel(channel_probs), **bp_kwargs)
-            osd = osd_decode(graph, synd, bp.llr, **osd_kwargs)
+            osd = osd_decode(graph, synd, bp.llr, consts=osd_consts, **osd_kwargs)
             keep = bp.converged[:, None]
             osd0 = jnp.where(keep, bp.hard.astype(jnp.int32), osd.osd0.astype(jnp.int32))
             osdw = jnp.where(keep, bp.hard.astype(jnp.int32), osd.osdw.astype(jnp.int32))
@@ -241,7 +251,12 @@ class css_decode_sim:
             p_miss = p_other / jnp.maximum(1.0 - p_first - p_y, 1e-30)
             return jnp.where(decided, p_hit, p_miss)
 
-        def batch_fn(key):
+        def batch_fn(key, consts):
+            graph_z, graph_x = consts["graph_z"], consts["graph_x"]
+            osd_z, osd_x = consts["osd_z"], consts["osd_x"]
+            hx_d, hz_d = consts["hx"], consts["hz"]
+            lx_d, lz_d = consts["lx"], consts["lz"]
+            pcx, pcy, pcz = consts["pcx"], consts["pcy"], consts["pcz"]
             rand = jax.random.uniform(key, (B, N))
             band_z = rand < pcz
             band_x = (rand >= pcz) & (rand < pcz + pcx)
@@ -253,16 +268,16 @@ class css_decode_sim:
             synd_x = mod2mul(error_x, hz_d)
 
             if channel_update is None:
-                bp_z, osd0_z, osdw_z = decode_side(graph_z, synd_z, pcz + pcy)
-                bp_x, osd0_x, osdw_x = decode_side(graph_x, synd_x, pcx + pcy)
+                bp_z, osd0_z, osdw_z = decode_side(graph_z, osd_z, synd_z, pcz + pcy)
+                bp_x, osd0_x, osdw_x = decode_side(graph_x, osd_x, synd_x, pcx + pcy)
             elif channel_update == "z->x":
-                bp_z, osd0_z, osdw_z = decode_side(graph_z, synd_z, pcz + pcy)
+                bp_z, osd0_z, osdw_z = decode_side(graph_z, osd_z, synd_z, pcz + pcy)
                 probs_x = bayes_update(osdw_z, pcz, pcx, pcy)
-                bp_x, osd0_x, osdw_x = decode_side(graph_x, synd_x, probs_x)
+                bp_x, osd0_x, osdw_x = decode_side(graph_x, osd_x, synd_x, probs_x)
             elif channel_update == "x->z":
-                bp_x, osd0_x, osdw_x = decode_side(graph_x, synd_x, pcx + pcy)
+                bp_x, osd0_x, osdw_x = decode_side(graph_x, osd_x, synd_x, pcx + pcy)
                 probs_z = bayes_update(osdw_x, pcx, pcz, pcy)
-                bp_z, osd0_z, osdw_z = decode_side(graph_z, synd_z, probs_z)
+                bp_z, osd0_z, osdw_z = decode_side(graph_z, osd_z, synd_z, probs_z)
             else:
                 raise ValueError(
                     f"channel_update must be None, 'x->z' or 'z->x', "
@@ -307,7 +322,8 @@ class css_decode_sim:
                 "logical_weight": jnp.minimum(osdw_weight, osd0_weight),
             }
 
-        self._batch_fn = jax.jit(batch_fn)
+        self._batch_jit = jax.jit(batch_fn)
+        self._batch_fn = lambda key: self._batch_jit(key, self._sim_consts)
 
     # -- statistics ---------------------------------------------------------
 
