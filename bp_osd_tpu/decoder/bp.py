@@ -148,27 +148,54 @@ def bp_decode(
 
     llr0 = jnp.asarray(llr0, jnp.float32)
     llr0 = jnp.broadcast_to(llr0, (B, n))
-    llr0_pad = jnp.pad(llr0, ((0, 0), (0, 1)))
-
-    v2c0 = llr0_pad[:, chk_var]  # [B, m, wr]
 
     fixed_alpha = float(ms_scaling_factor)
     adaptive = method == "minimum_sum" and fixed_alpha == 0.0
 
-    def syndrome_of(hard):
-        hard_pad = jnp.pad(hard, ((0, 0), (0, 1)))
-        bits = jnp.where(chk_mask, hard_pad[:, chk_var], 0)
-        return jnp.sum(bits, axis=-1) & 1
+    M = graph.edge_var_onehot  # [m*wr, n] one-hot (None for large graphs)
 
-    def variable_update(c2v):
-        c2v_flat = c2v.reshape(B, m * wr)
-        c2v_flat = jnp.pad(c2v_flat, ((0, 0), (0, 1)))
-        gathered = c2v_flat[:, var_edge]  # [B, n, wc]
-        gathered = jnp.where(var_mask, gathered, 0.0)
-        total = llr0 + jnp.sum(gathered, axis=-1)
-        total_pad = jnp.pad(total, ((0, 0), (0, 1)))
-        v2c_next = total_pad[:, chk_var] - c2v
-        return total, v2c_next
+    if M is not None:
+        # matmul formulation: every gather/segment-sum rides the MXU
+        def var_to_edge(x):  # [B, n] -> [B, m, wr]
+            return jnp.einsum(
+                "bn,en->be", x, M, preferred_element_type=jnp.float32
+            ).reshape(B, m, wr)
+
+        v2c0 = var_to_edge(llr0)
+
+        def syndrome_of(hard):
+            bits = var_to_edge(hard.astype(jnp.float32))
+            return jnp.sum(bits, axis=-1).astype(jnp.int32) & 1
+
+        def variable_update(c2v):
+            per_var = jnp.einsum(
+                "be,en->bn",
+                c2v.reshape(B, m * wr),
+                M,
+                preferred_element_type=jnp.float32,
+            )
+            total = llr0 + per_var
+            v2c_next = var_to_edge(total) - c2v
+            return total, v2c_next
+
+    else:
+        llr0_pad = jnp.pad(llr0, ((0, 0), (0, 1)))
+        v2c0 = llr0_pad[:, chk_var]  # [B, m, wr]
+
+        def syndrome_of(hard):
+            hard_pad = jnp.pad(hard, ((0, 0), (0, 1)))
+            bits = jnp.where(chk_mask, hard_pad[:, chk_var], 0)
+            return jnp.sum(bits, axis=-1) & 1
+
+        def variable_update(c2v):
+            c2v_flat = c2v.reshape(B, m * wr)
+            c2v_flat = jnp.pad(c2v_flat, ((0, 0), (0, 1)))
+            gathered = c2v_flat[:, var_edge]  # [B, n, wc]
+            gathered = jnp.where(var_mask, gathered, 0.0)
+            total = llr0 + jnp.sum(gathered, axis=-1)
+            total_pad = jnp.pad(total, ((0, 0), (0, 1)))
+            v2c_next = total_pad[:, chk_var] - c2v
+            return total, v2c_next
 
     def body(state):
         it, v2c, hard_out, llr_out, iters, converged = state

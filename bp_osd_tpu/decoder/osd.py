@@ -137,101 +137,119 @@ def _popcount_sum(words):
 def _eliminate(graph: TannerGraph, perm, synd):
     """Batched Gauss-Jordan elimination of H in per-sample column order.
 
+    Swap-free formulation: pivot rows stay in place and are tracked in
+    ``pivot_rows`` — on TPU this halves the per-step passes over the packed
+    matrix, and every per-step "gather" is expressed as a shift + one-hot
+    masked reduction (dynamic-index gathers along the minor axes lower to
+    catastrophically slow loops on TPU).
+
     Args:
       perm:  [B, n] column visiting order (reliability sort).
       synd:  [B, m] syndrome bits (int32).
 
     Returns:
-      h_work:     [B, m, W] fully reduced packed matrix (pivot i in row i).
+      h_work:     [B, m, W] fully reduced packed matrix.
       s_work:     [B, m] reduced syndrome bits.
       pivot_ids:  [B, r] original column index of pivot i.
+      pivot_rows: [B, r] row holding pivot i.
       pivot_mask: [B, n] True at sorted positions that produced a pivot.
     """
     m, n, W, r = graph.m, graph.n, graph.num_words, graph.rank
     B = perm.shape[0]
     h0 = jnp.broadcast_to(jnp.asarray(graph.H_packed), (B, m, W))
-    rowidx = jnp.arange(m, dtype=jnp.int32)[None, :]
+    rowidx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    wordidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
 
     def body(state):
-        t, h_work, s_work, rr, pivot_ids, pivot_mask = state
+        t, h_work, s_work, used, rr, pivot_ids, pivot_rows, pivot_mask = state
         col = jax.lax.dynamic_index_in_dim(perm, t, axis=1, keepdims=False)
         w = (col >> 5).astype(jnp.int32)
         b = (col & 31).astype(jnp.uint32)
 
-        def column_bits(h):
-            widx = jnp.broadcast_to(w[:, None, None], (B, m, 1))
-            words = jnp.take_along_axis(h, widx, axis=2)[..., 0]
-            return ((words >> b[:, None]) & 1).astype(jnp.int32)
+        # pivot-column bits: one-hot word select + per-sample shift
+        word_sel = (wordidx == w[:, None, None]).astype(jnp.uint32)
+        word = jnp.sum(h_work * word_sel, axis=2)  # [B, m]
+        colbits = ((word >> b[:, None]) & 1).astype(jnp.int32)
 
-        colbits = column_bits(h_work)
-        eligible = (colbits == 1) & (rowidx >= rr[:, None])
+        eligible = (colbits == 1) & ~used
         has = jnp.any(eligible, axis=1) & (rr < r)
-        pivot_row = jnp.argmax(eligible, axis=1).astype(jnp.int32)
+        pr = jnp.argmax(eligible, axis=1).astype(jnp.int32)
 
-        # swap rows rr <-> pivot_row (only where a pivot was found)
-        sel_r = (rowidx == rr[:, None]) & has[:, None]
-        sel_p = (rowidx == pivot_row[:, None]) & has[:, None]
-        row_r = jnp.take_along_axis(h_work, rr[:, None, None], axis=1)
-        row_p = jnp.take_along_axis(h_work, pivot_row[:, None, None], axis=1)
-        h_work = jnp.where(
-            sel_p[:, :, None],
-            jnp.where(sel_r[:, :, None], row_p, row_r),
-            jnp.where(sel_r[:, :, None], row_p, h_work),
-        )
-        s_r = jnp.take_along_axis(s_work, rr[:, None], axis=1)
-        s_p = jnp.take_along_axis(s_work, pivot_row[:, None], axis=1)
-        s_work = jnp.where(sel_p, jnp.where(sel_r, s_p, s_r), jnp.where(sel_r, s_p, s_work))
+        # pivot row contents via one-hot masked reduction
+        onehot_pr = ((rowidx == pr[:, None]) & has[:, None])
+        piv_data = jnp.sum(
+            h_work * onehot_pr[:, :, None].astype(jnp.uint32), axis=1
+        )  # [B, W]
+        s_piv = jnp.sum(s_work * onehot_pr.astype(jnp.int32), axis=1)  # [B]
 
-        # eliminate the pivot column from every other row (Jordan step)
-        colbits = column_bits(h_work)
-        elim = (colbits == 1) & (rowidx != rr[:, None]) & has[:, None]
-        piv_data = jnp.take_along_axis(h_work, rr[:, None, None], axis=1)
-        h_work = jnp.where(elim[:, :, None], h_work ^ piv_data, h_work)
-        s_piv = jnp.take_along_axis(s_work, rr[:, None], axis=1)
-        s_work = jnp.where(elim, s_work ^ s_piv, s_work)
+        # Jordan step: clear the column from every other row
+        elim = (colbits == 1) & (rowidx != pr[:, None]) & has[:, None]
+        h_work = h_work ^ (elim[:, :, None].astype(jnp.uint32) * piv_data[:, None, :])
+        s_work = s_work ^ (elim.astype(jnp.int32) * s_piv[:, None])
 
         bidx = jnp.arange(B)
         slot = jnp.clip(rr, 0, r - 1)
         pivot_ids = pivot_ids.at[bidx, slot].set(
             jnp.where(has, col, pivot_ids[bidx, slot])
         )
+        pivot_rows = pivot_rows.at[bidx, slot].set(
+            jnp.where(has, pr, pivot_rows[bidx, slot])
+        )
         pivot_mask = pivot_mask.at[:, t].set(has)
+        used = used | onehot_pr
         rr = rr + has.astype(jnp.int32)
-        return t + 1, h_work, s_work, rr, pivot_ids, pivot_mask
+        return t + 1, h_work, s_work, used, rr, pivot_ids, pivot_rows, pivot_mask
 
     def cond(state):
-        t, _, _, rr, _, _ = state
+        t, _, _, _, rr, _, _, _ = state
         return (t < n) & (jnp.min(rr) < r)
 
     init = (
         jnp.int32(0),
         h0,
         synd.astype(jnp.int32),
+        jnp.zeros((B, m), bool),
         jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, r), jnp.int32),
         jnp.zeros((B, r), jnp.int32),
         jnp.zeros((B, n), bool),
     )
-    _, h_work, s_work, _, pivot_ids, pivot_mask = jax.lax.while_loop(
-        cond, body, init
+    _, h_work, s_work, _, _, pivot_ids, pivot_rows, pivot_mask = (
+        jax.lax.while_loop(cond, body, init)
     )
-    return h_work, s_work, pivot_ids, pivot_mask
+    return h_work, s_work, pivot_ids, pivot_rows, pivot_mask
 
 
-def _extract_t_columns(graph, h_work, perm, pivot_mask):
-    """Original ids and reduced-column bits of the non-pivot ("bad") set T."""
+def _extract_t_columns(graph, h_rows, perm, pivot_mask):
+    """Original ids and reduced-column bits of the non-pivot ("bad") set T.
+
+    ``h_rows [B, r, W]`` are the pivot rows of the reduced matrix.  The
+    per-column word selection runs as two f32 one-hot matmuls over the
+    uint16 halves (MXU work; exact since halves < 2^16 < 2^24) instead of a
+    minor-axis gather, which lowers to a slow scalar loop on TPU.
+    """
     n, r = graph.n, graph.rank
     k = n - r
     B = perm.shape[0]
+    W = graph.num_words
     # stable sort moves non-pivot sorted-positions (False=0) to the front,
     # preserving reliability order within T
     tpos = jnp.argsort(pivot_mask.astype(jnp.int32), axis=1, stable=True)[:, :k]
     t_cols = jnp.take_along_axis(perm, tpos, axis=1)  # [B, k]
     w = (t_cols >> 5).astype(jnp.int32)
     b = (t_cols & 31).astype(jnp.uint32)
-    h_top = h_work[:, :r, :]
-    words = jnp.take_along_axis(
-        h_top, jnp.broadcast_to(w[:, None, :], (B, r, k)), axis=2
+
+    wordidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    onehot_w = (wordidx == w[:, :, None]).astype(jnp.float32)  # [B, k, W]
+    lo = (h_rows & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    hi = (h_rows >> jnp.uint32(16)).astype(jnp.float32)
+    sel_lo = jnp.einsum(
+        "brw,bkw->brk", lo, onehot_w, preferred_element_type=jnp.float32
     )
+    sel_hi = jnp.einsum(
+        "brw,bkw->brk", hi, onehot_w, preferred_element_type=jnp.float32
+    )
+    words = sel_lo.astype(jnp.uint32) | (sel_hi.astype(jnp.uint32) << 16)
     t_bits = ((words >> b[:, None, :]) & 1).astype(jnp.int32)  # [B, r, k]
     return t_cols, t_bits
 
@@ -378,8 +396,11 @@ def osd_decode(
     llr = jnp.asarray(llr, jnp.float32)
     perm = jnp.argsort(llr, axis=1, stable=True).astype(jnp.int32)  # [B, n]
 
-    h_work, s_work, pivot_ids, pivot_mask = _eliminate(graph, perm, synd)
-    s_rows = s_work[:, :r]  # pivot i lives in row i after Jordan elimination
+    h_work, s_work, pivot_ids, pivot_rows, pivot_mask = _eliminate(
+        graph, perm, synd
+    )
+    # pivot i lives in row pivot_rows[:, i]; gather once (O(B*r) scalars)
+    s_rows = jnp.take_along_axis(s_work, pivot_rows, axis=1)  # [B, r]
 
     e0 = _scatter_solution(n, pivot_ids, s_rows)
 
@@ -387,7 +408,8 @@ def osd_decode(
     if no_search:
         e_w = e0
     else:
-        t_cols, t_bits = _extract_t_columns(graph, h_work, perm, pivot_mask)
+        h_rows = jnp.take_along_axis(h_work, pivot_rows[:, :, None], axis=1)
+        t_cols, t_bits = _extract_t_columns(graph, h_rows, perm, pivot_mask)
         if method == "osd_e":
             pattern, e_piv = _search_osd_e(
                 osd_order, s_rows, t_bits,

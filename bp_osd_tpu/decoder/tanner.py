@@ -84,6 +84,20 @@ class TannerGraph:
         # reliability ordering — this is what makes every OSD shape static.
         self.rank = gf2.rank(Hd)
 
+        # one-hot edge<->variable operator [m*wr, n]: turns BP's gathers and
+        # segment-sums into MXU matmuls (gathers with runtime index arrays
+        # lower to slow scalar loops on TPU).  Pad slots are all-zero rows,
+        # so garbage in pad message lanes never propagates.  Only built for
+        # graphs small enough that the dense operator is cheap; larger
+        # graphs fall back to the gather path.
+        E_flat = m * self.wr
+        if E_flat * n <= 8_000_000:
+            M = np.zeros((E_flat, n), dtype=np.float32)
+            M[edge_flat, cols] = 1.0
+            self.edge_var_onehot = M
+        else:
+            self.edge_var_onehot = None
+
     def __repr__(self) -> str:
         return (
             f"TannerGraph(m={self.m}, n={self.n}, edges={self.num_edges}, "
@@ -98,6 +112,7 @@ class TannerGraph:
         "var_edge",
         "var_mask",
         "H_packed",
+        "edge_var_onehot",
     )
     _AUX_FIELDS = ("m", "n", "wr", "wc", "num_words", "rank", "num_edges")
 
