@@ -1,0 +1,264 @@
+"""Pallas TPU kernel: fused batched min-sum/product-sum BP decode loop.
+
+The XLA BP path (``decoder/bp.py``) round-trips messages through HBM every
+iteration.  This kernel keeps the whole message state ``[BS, wr, m_pad]``
+resident in VMEM for a block of samples and runs the entire iteration loop
+in one program: per iteration it does two small MXU matmuls (edge<->variable
+one-hot operators) and a handful of VPU passes, with HBM traffic only at
+entry/exit.
+
+Layout: check rows on the lane axis (``m_pad`` = multiple of 128), message
+slots on the sublane axis (``wr``).  The flat edge index is slot-major
+(``e = j * m_pad + i``), matching the one-hot operators built in
+:func:`build_bp_operators`.
+
+Semantics match ``decoder.bp.bp_decode`` (parallel schedule, per-sample
+freeze at first convergence, adaptive min-sum scaling for
+``ms_scaling_factor == 0``); small float differences are possible because
+variable-node sums accumulate in a different order (matmul vs gather-sum).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..decoder.bp import normalize_bp_method
+
+__all__ = ["build_bp_operators", "bp_decode_pallas"]
+
+_BIG = 1e30  # python float: module-level jnp scalars become captured constants
+_TANH_CLIP = 1.0 - 1e-7
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def build_bp_operators(graph):
+    """Host-built dense operators for the fused BP kernel.
+
+    Returns dict of np arrays:
+      edge_var [wr*m_pad, n_pad] f32 one-hot: edge e -> its variable
+      h_t      [n_pad, m_pad]    f32: H^T (variable -> check incidence)
+      mask     [wr, m_pad]       f32: 1 on real (check, slot) pairs
+    """
+    m, n, wr = graph.m, graph.n, graph.wr
+    m_pad = _round_up(m, 128)
+    n_pad = _round_up(n, 128)
+
+    edge_var = np.zeros((wr * m_pad, n_pad), dtype=np.float32)
+    rows, slots = np.nonzero(graph.chk_mask)
+    cols = graph.chk_var[rows, slots]
+    edge_var[slots * m_pad + rows, cols] = 1.0
+
+    h_t = np.zeros((n_pad, m_pad), dtype=np.float32)
+    h_t[:n, :m] = graph.H.T
+
+    mask = np.zeros((wr, m_pad), dtype=np.float32)
+    mask[slots, rows] = 1.0
+    return {"edge_var": edge_var, "h_t": h_t, "mask": mask}
+
+
+def _bp_kernel(synd_ref, llr0_ref, ev_ref, ht_ref, mask_ref,
+               hard_ref, llr_ref, conv_ref, iters_ref,
+               *, method, max_iter, alpha_fixed, wr, m_pad, n_pad, BS):
+    synd = synd_ref[:, :].astype(jnp.float32)  # [BS, m_pad]
+    syn_sign = (1.0 - 2.0 * synd)[:, None, :]  # [BS, 1, m_pad]
+    llr0 = llr0_ref[:, :]  # [BS, n_pad]
+    ev = ev_ref[:, :]  # [E, n_pad]
+    ht = ht_ref[:, :]  # [n_pad, m_pad]
+    mask = mask_ref[:, :][None]  # [1, wr, m_pad]
+    maskb = mask > 0
+
+    E = wr * m_pad
+
+    def var_to_edge(x):  # [BS, n_pad] -> [BS, wr, m_pad]
+        flat = jax.lax.dot_general(
+            x, ev, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BS, E]
+        return flat.reshape(BS, wr, m_pad)
+
+    def edge_to_var(msgs):  # [BS, wr, m_pad] -> [BS, n_pad]
+        return jnp.dot(
+            msgs.reshape(BS, E), ev, preferred_element_type=jnp.float32
+        )
+
+    v2c0 = var_to_edge(llr0)
+
+    def check_update(v2c, it):
+        if method == "minimum_sum":
+            neg = ((v2c < 0) & maskb).astype(jnp.float32)
+            neg_total = jnp.sum(neg, axis=1, keepdims=True)
+            excl_sgn = 1.0 - 2.0 * jnp.mod(neg_total - neg, 2.0)
+            mag = jnp.where(maskb, jnp.abs(v2c), _BIG)
+            min1 = jnp.min(mag, axis=1, keepdims=True)
+            amin = jnp.argmin(mag, axis=1, keepdims=True)
+            slot = jax.lax.broadcasted_iota(jnp.int32, v2c.shape, 1)
+            is_min = slot == amin
+            min2 = jnp.min(jnp.where(is_min, _BIG, mag), axis=1, keepdims=True)
+            excl_min = jnp.where(is_min, min2, min1)
+            if alpha_fixed == 0.0:
+                alpha = 1.0 - jnp.exp2(-it.astype(jnp.float32))
+            else:
+                alpha = alpha_fixed
+            return syn_sign * excl_sgn * alpha * excl_min
+        else:  # product_sum
+            t = jnp.tanh(0.5 * v2c)
+            t = jnp.where(maskb, t, 1.0)
+            ones = jnp.ones_like(t[:, :1, :])
+            fwd = jnp.concatenate(
+                [ones, jnp.cumprod(t, axis=1)[:, :-1, :]], axis=1
+            )
+            rt = jnp.flip(t, axis=1)
+            bwd = jnp.flip(
+                jnp.concatenate(
+                    [ones, jnp.cumprod(rt, axis=1)[:, :-1, :]], axis=1
+                ),
+                axis=1,
+            )
+            excl = jnp.clip(syn_sign * fwd * bwd, -_TANH_CLIP, _TANH_CLIP)
+            return 2.0 * jnp.arctanh(excl)
+
+    def body(state):
+        it, v2c, hard_out, llr_out, iters, conv = state
+        c2v = check_update(v2c, it)
+        c2v = jnp.where(maskb, c2v, 0.0)
+        total = llr0 + edge_to_var(c2v)
+        v2c_next = var_to_edge(total) - c2v
+        hard = (total <= 0).astype(jnp.float32)
+        synd_hat = jnp.mod(
+            jnp.dot(hard, ht, preferred_element_type=jnp.float32), 2.0
+        )
+        ok = jnp.all(synd_hat == synd, axis=1)  # [BS]
+        live = conv == 0
+        hard_out = jnp.where(live[:, None], hard, hard_out)
+        llr_out = jnp.where(live[:, None], total, llr_out)
+        iters = jnp.where(live, it, iters)
+        conv = conv | ok.astype(jnp.int32)
+        return it + 1, v2c_next, hard_out, llr_out, iters, conv
+
+    def cond(state):
+        it = state[0]
+        conv = state[5]
+        return (it <= max_iter) & (jnp.min(conv) == 0)
+
+    init = (
+        jnp.int32(1),
+        v2c0,
+        jnp.zeros((BS, n_pad), jnp.float32),
+        llr0,
+        jnp.zeros((BS,), jnp.int32),
+        jnp.zeros((BS,), jnp.int32),
+    )
+    _, _, hard_out, llr_out, iters, conv = jax.lax.while_loop(cond, body, init)
+
+    hard_ref[:, :] = hard_out.astype(jnp.int32)
+    llr_ref[:, :] = llr_out
+    conv_ref[:, :] = conv[:, None]
+    iters_ref[:, :] = iters[:, None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "max_iter", "alpha_fixed", "wr", "m_pad", "n_pad", "block"),
+)
+def _bp_pallas_impl(synd, llr0, ev, ht, mask,
+                    *, method, max_iter, alpha_fixed, wr, m_pad, n_pad, block):
+    B = synd.shape[0]
+    grid = B // block
+    kernel = functools.partial(
+        _bp_kernel, method=method, max_iter=max_iter, alpha_fixed=alpha_fixed,
+        wr=wr, m_pad=m_pad, n_pad=n_pad, BS=block,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr * m_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wr, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+    )(synd, llr0, ev, ht, mask)
+
+
+def bp_decode_pallas(
+    graph,
+    operators,
+    syndromes,
+    llr0,
+    *,
+    bp_method: str = "minimum_sum",
+    max_iter: int = 0,
+    ms_scaling_factor: float = 0.625,
+    block: int = 128,
+    interpret: bool = False,
+):
+    """Fused-BP decode; returns ``(hard [B, n] uint8, llr [B, n] f32,
+    converged [B] bool, iterations [B] int32)`` like ``bp_decode``.
+
+    ``operators`` is the dict from :func:`build_bp_operators` — pass it
+    through any enclosing jit as an argument.
+    """
+    method = normalize_bp_method(bp_method)
+    if max_iter == 0:
+        max_iter = graph.n
+    m, n, wr = graph.m, graph.n, graph.wr
+    m_pad = _round_up(m, 128)
+    n_pad = _round_up(n, 128)
+
+    syndromes = jnp.asarray(syndromes)
+    if syndromes.ndim == 1:
+        syndromes = syndromes[None, :]
+    B = syndromes.shape[0]
+    block = min(block, B)
+    if B % block:
+        raise ValueError(f"batch {B} must be divisible by block {block}")
+
+    synd_p = jnp.pad(syndromes.astype(jnp.int32), ((0, 0), (0, m_pad - m)))
+    llr0 = jnp.broadcast_to(jnp.asarray(llr0, jnp.float32), (B, n))
+    llr0_p = jnp.pad(llr0, ((0, 0), (0, n_pad - n)), constant_values=1.0)
+
+    args = (
+        synd_p, llr0_p,
+        jnp.asarray(operators["edge_var"]),
+        jnp.asarray(operators["h_t"]),
+        jnp.asarray(operators["mask"]),
+    )
+    kwargs = dict(
+        method=method, max_iter=int(max_iter),
+        alpha_fixed=float(ms_scaling_factor),
+        wr=wr, m_pad=m_pad, n_pad=n_pad, block=block,
+    )
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            hard, llr, conv, iters = _bp_pallas_impl(*args, **kwargs)
+    else:
+        hard, llr, conv, iters = _bp_pallas_impl(*args, **kwargs)
+
+    return (
+        hard[:, :n].astype(jnp.uint8),
+        llr[:, :n],
+        conv[:, 0].astype(bool),
+        iters[:, 0],
+    )
