@@ -99,9 +99,10 @@ def _bp_kernel(synd_ref, llr0_ref, ev_ref, ht_ref, mask_ref,
             excl_sgn = 1.0 - 2.0 * jnp.mod(neg_total - neg, 2.0)
             mag = jnp.where(maskb, jnp.abs(v2c), _BIG)
             min1 = jnp.min(mag, axis=1, keepdims=True)
-            amin = jnp.argmin(mag, axis=1, keepdims=True)
-            slot = jax.lax.broadcasted_iota(jnp.int32, v2c.shape, 1)
-            is_min = slot == amin
+            # first-minimum mask without argmin (Mosaic-friendlier):
+            # candidates are lanes equal to the min; keep only the first
+            at_min = (mag == min1).astype(jnp.float32)
+            is_min = (at_min * (jnp.cumsum(at_min, axis=1) == 1.0)) > 0
             min2 = jnp.min(jnp.where(is_min, _BIG, mag), axis=1, keepdims=True)
             excl_min = jnp.where(is_min, min2, min1)
             if alpha_fixed == 0.0:

@@ -1,1 +1,5 @@
-"""bp_osd_tpu.utils"""
+"""Utilities: profiling, timing."""
+
+from .profiling import Timer, block, trace
+
+__all__ = ["trace", "Timer", "block"]
