@@ -187,3 +187,52 @@ def test_hgp_400_matches_reference_golden_matrices():
         stack_ref = np.vstack([h_stab, ref])
         stack_both = np.vstack([h_stab, ref, ours])
         assert gf2.rank(stack_ref) == gf2.rank(stack_both)
+
+
+def test_lifted_product_l1_equals_hgp():
+    from bp_osd_tpu.codes import lifted_hgp
+
+    h = rep_code(3).toarray()
+    proto = [
+        [(0,) if h[i, j] else () for j in range(h.shape[1])]
+        for i in range(h.shape[0])
+    ]
+    lp = lifted_hgp(proto, lift=1)
+    ref = hgp(h, h)
+    assert np.array_equal(lp.hx.toarray(), ref.hx.toarray())
+    assert np.array_equal(lp.hz.toarray(), ref.hz.toarray())
+
+
+def test_lifted_product_toric_from_single_entry():
+    from bp_osd_tpu.codes import lifted_hgp
+
+    lp = lifted_hgp([[(0, 1)]], lift=6)
+    assert lp.N == 12
+    assert lp.K == 2  # toric code
+    assert lp.test(show_tests=False)
+
+
+def test_lifted_product_nontrivial_lift_is_valid():
+    from bp_osd_tpu.codes import lifted_hgp
+
+    proto = [
+        [(0,), (11,), (7,), (12,)],
+        [(1,), (8,), (1,), (8,)],
+        [(11,), (0,), (4,), (8,)],
+    ]
+    lp = lifted_hgp(proto, lift=13)
+    assert lp.N == 325
+    assert lp.K == 25
+    assert lp.test(show_tests=False)
+
+
+def test_surface_and_toric_families():
+    from bp_osd_tpu.codes import surface_code, toric_code
+
+    for d in (3, 5):
+        sc = surface_code(d, compute_distance=True)
+        assert (sc.N, sc.K, sc.D) == (d * d + (d - 1) * (d - 1), 1, d)
+        assert sc.test(show_tests=False)
+    tc = toric_code(4, compute_distance=True)
+    assert (tc.N, tc.K, tc.D) == (32, 2, 4)
+    assert tc.test(show_tests=False)
