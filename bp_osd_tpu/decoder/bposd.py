@@ -166,6 +166,7 @@ class BpOsdDecoder(BpDecoder):
         error_channel=None,
         osd_method: str = "osd_0",
         osd_order: int = 0,
+        backend: str = "xla",
         **unused,
     ):
         super().__init__(
@@ -180,6 +181,15 @@ class BpOsdDecoder(BpDecoder):
         self.osd_method = normalize_osd_method(osd_method)
         self.osd_order = int(osd_order)
         self._osd_consts = build_osd_consts(self.graph, self.osd_method, self.osd_order)
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"backend must be 'xla' or 'pallas', got {backend!r}")
+        self.backend = backend
+        if backend == "pallas":
+            from ..ops.pallas_bp import build_bp_operators
+
+            self._bp_operators = build_bp_operators(self.graph)
+        else:
+            self._bp_operators = None
         self.osd0_decoding = np.zeros(self.n, dtype=np.uint8)
         self.osdw_decoding = np.zeros(self.n, dtype=np.uint8)
 
@@ -189,15 +199,27 @@ class BpOsdDecoder(BpDecoder):
         key = "bposd"
         if key not in self._jit_cache:
 
-            def fn(graph, syndromes, llr0, osd_consts):
-                bp = bp_decode(
-                    graph,
-                    syndromes,
-                    llr0,
-                    bp_method=self.bp_method,
-                    max_iter=self.max_iter,
-                    ms_scaling_factor=self.ms_scaling_factor,
-                )
+            def fn(graph, syndromes, llr0, osd_consts, bp_ops):
+                if self.backend == "pallas":
+                    from ..ops.pallas_bp import bp_decode_pallas
+
+                    hard, llr, conv, iters = bp_decode_pallas(
+                        graph, bp_ops, syndromes, llr0,
+                        bp_method=self.bp_method,
+                        max_iter=self.max_iter,
+                        ms_scaling_factor=self.ms_scaling_factor,
+                    )
+                    bp = BPResult(hard=hard, llr=llr, converged=conv,
+                                  iterations=iters)
+                else:
+                    bp = bp_decode(
+                        graph,
+                        syndromes,
+                        llr0,
+                        bp_method=self.bp_method,
+                        max_iter=self.max_iter,
+                        ms_scaling_factor=self.ms_scaling_factor,
+                    )
                 osd = osd_decode(
                     graph,
                     syndromes,
@@ -205,6 +227,7 @@ class BpOsdDecoder(BpDecoder):
                     osd_method=self.osd_method,
                     osd_order=self.osd_order,
                     consts=osd_consts,
+                    backend=self.backend,
                 )
                 keep_bp = bp.converged[:, None]
                 osd0 = jnp.where(keep_bp, bp.hard, osd.osd0)
@@ -218,7 +241,8 @@ class BpOsdDecoder(BpDecoder):
         syndromes = np.atleast_2d(np.asarray(syndromes))
         B = syndromes.shape[0]
         bp, osd0, osdw = self._bposd_fn(B)(
-            self.graph, syndromes, self._llr0(channel_probs), self._osd_consts
+            self.graph, syndromes, self._llr0(channel_probs),
+            self._osd_consts, self._bp_operators,
         )
         self.bp_decoding_batch = np.asarray(bp.hard)
         self.log_prob_ratios_batch = np.asarray(bp.llr)

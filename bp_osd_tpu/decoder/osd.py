@@ -373,6 +373,7 @@ def osd_decode(
     osd_method: str = "osd0",
     osd_order: int = 0,
     consts: OsdConsts | None = None,
+    backend: str = "xla",
 ) -> OsdResult:
     """Run OSD on a batch given BP soft outputs ``llr`` ([B, n]).
 
@@ -396,9 +397,16 @@ def osd_decode(
     llr = jnp.asarray(llr, jnp.float32)
     perm = jnp.argsort(llr, axis=1, stable=True).astype(jnp.int32)  # [B, n]
 
-    h_work, s_work, pivot_ids, pivot_rows, pivot_mask = _eliminate(
-        graph, perm, synd
-    )
+    if backend == "pallas":
+        from ..ops.pallas_gf2 import eliminate_pallas
+
+        h_work, s_work, pivot_ids, pivot_rows, pivot_mask = eliminate_pallas(
+            graph, perm, synd
+        )
+    else:
+        h_work, s_work, pivot_ids, pivot_rows, pivot_mask = _eliminate(
+            graph, perm, synd
+        )
     # pivot i lives in row pivot_rows[:, i]; gather once (O(B*r) scalars)
     s_rows = jnp.take_along_axis(s_work, pivot_rows, axis=1)  # [B, r]
 

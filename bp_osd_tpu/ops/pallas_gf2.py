@@ -156,11 +156,23 @@ def eliminate_pallas(graph, perm, synd, *, block: int = 256, interpret: bool = F
     batch-on-lanes ``[W, m_pad, B]`` layout and converts at the boundary.
     """
     m, n, W, r = graph.m, graph.n, graph.num_words, graph.rank
-    B = perm.shape[0]
+    B_in = perm.shape[0]
     m_pad = _round_up(m, 128)
-    block = min(block, B)
-    if B % block:
-        raise ValueError(f"batch {B} must be divisible by block {block}")
+    # pad the batch up to a lane-aligned block multiple (extra samples get
+    # the identity column order and a zero syndrome; sliced off at the end)
+    block = min(block, _round_up(B_in, 128))
+    B = _round_up(B_in, block)
+    if B != B_in:
+        perm = jnp.concatenate(
+            [jnp.asarray(perm, jnp.int32),
+             jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (B - B_in, n))],
+            axis=0,
+        )
+        synd = jnp.concatenate(
+            [jnp.asarray(synd, jnp.int32),
+             jnp.zeros((B - B_in, synd.shape[1]), jnp.int32)],
+            axis=0,
+        )
 
     h_t = jnp.asarray(graph.H_packed).T  # [W, m]
     h_t = jnp.pad(h_t, ((0, 0), (0, m_pad - m)))
@@ -182,7 +194,13 @@ def eliminate_pallas(graph, perm, synd, *, block: int = 256, interpret: bool = F
         )
 
     h_work = jax.lax.bitcast_convert_type(
-        jnp.transpose(hout, (2, 1, 0))[:, :m, :], jnp.uint32
-    )  # [B, m, W]
-    s_work = sout.T[:, :m]
-    return h_work, s_work, pid.T, prow.T, pmask.T.astype(bool)
+        jnp.transpose(hout, (2, 1, 0))[:B_in, :m, :], jnp.uint32
+    )  # [B_in, m, W]
+    s_work = sout.T[:B_in, :m]
+    return (
+        h_work,
+        s_work,
+        pid.T[:B_in],
+        prow.T[:B_in],
+        pmask.T[:B_in].astype(bool),
+    )

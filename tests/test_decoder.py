@@ -239,3 +239,24 @@ def test_bp_decoder_standalone():
     out = bpd.decode(H @ e % 2)
     assert np.array_equal(out, e)
     assert bpd.converge == 1
+
+
+def test_pallas_backend_matches_xla_through_decoder():
+    """backend='pallas' end-to-end through BpOsdDecoder (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    surface = hgp(rep_code(3), rep_code(3))
+    H = surface.hz.toarray()
+    kwargs = dict(error_rate=0.05, max_iter=13, bp_method="ms",
+                  ms_scaling_factor=0.625, osd_method="osd_cs", osd_order=4)
+    ref = BpOsdDecoder(H, backend="xla", **kwargs)
+    pal = BpOsdDecoder(H, backend="pallas", **kwargs)
+    B = 8
+    errors = (RNG.random((B, 13)) < 0.1).astype(np.uint8)
+    synds = (errors @ H.T) % 2
+    out_ref = ref.decode_batch(synds).copy()
+    with pltpu.force_tpu_interpret_mode():
+        out_pal = pal.decode_batch(synds).copy()
+    assert np.array_equal(out_ref, out_pal)
+    assert np.array_equal(ref.converge_batch, pal.converge_batch)
+    assert np.array_equal(ref.osd0_decoding_batch, pal.osd0_decoding_batch)
