@@ -58,6 +58,7 @@ _DEFAULT_INPUT = {
     "hadamard_rotate_sector1_length": 0,
     "error_bar_precision_cutoff": 1e-3,
     "batch_size": 0,  # 0 -> auto (new: decode batch per dispatch)
+    "use_mesh": -1,  # -1 auto: shard batch over all devices when >1 (new)
 }
 
 _OUTPUT_VALUES = {
@@ -192,9 +193,15 @@ class css_decode_sim:
         self._graph_z = TannerGraph(self.hx.toarray())  # Z errors vs hx
         self._graph_x = TannerGraph(self.hz.toarray())  # X errors vs hz
 
+        n_dev = len(jax.devices())
+        if self.use_mesh == -1:
+            self.use_mesh = 1 if n_dev > 1 else 0
         if self.batch_size == 0:
             # auto: fill a useful dispatch without exhausting memory
             self.batch_size = int(min(max(self.target_runs, 1), 1024))
+        if self.use_mesh and self.batch_size % n_dev:
+            # round up so the batch shards evenly over the mesh
+            self.batch_size += n_dev - self.batch_size % n_dev
         self._bp_kwargs = dict(
             bp_method=self.bp_method,
             max_iter=int(self.max_iter),
@@ -251,13 +258,14 @@ class css_decode_sim:
             p_miss = p_other / jnp.maximum(1.0 - p_first - p_y, 1e-30)
             return jnp.where(decided, p_hit, p_miss)
 
-        def batch_fn(key, consts):
+        def batch_fn(keys, consts):
             graph_z, graph_x = consts["graph_z"], consts["graph_x"]
             osd_z, osd_x = consts["osd_z"], consts["osd_x"]
             hx_d, hz_d = consts["hx"], consts["hz"]
             lx_d, lz_d = consts["lx"], consts["lz"]
             pcx, pcy, pcz = consts["pcx"], consts["pcy"], consts["pcz"]
-            rand = jax.random.uniform(key, (B, N))
+            # per-sample keys keep the batch axis shardable over the mesh
+            rand = jax.vmap(lambda k: jax.random.uniform(k, (N,)))(keys)
             band_z = rand < pcz
             band_x = (rand >= pcz) & (rand < pcz + pcx)
             band_y = (rand >= pcz + pcx) & (rand < pcz + pcx + pcy)
@@ -322,8 +330,27 @@ class css_decode_sim:
                 "logical_weight": jnp.minimum(osdw_weight, osd0_weight),
             }
 
-        self._batch_jit = jax.jit(batch_fn)
-        self._batch_fn = lambda key: self._batch_jit(key, self._sim_consts)
+        if self.use_mesh:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import make_mesh
+
+            self._mesh = make_mesh()
+            batch_shard = NamedSharding(self._mesh, P("data"))
+            replicated = jax.tree_util.tree_map(
+                lambda _: NamedSharding(self._mesh, P()), self._sim_consts
+            )
+            self._batch_jit = jax.jit(
+                batch_fn, in_shardings=(batch_shard, replicated)
+            )
+        else:
+            self._batch_jit = jax.jit(batch_fn)
+
+        def run_batch(key):
+            keys = jax.random.split(key, B)
+            return self._batch_jit(keys, self._sim_consts)
+
+        self._batch_fn = run_batch
 
     # -- statistics ---------------------------------------------------------
 

@@ -136,3 +136,19 @@ def test_sim_invalid_code_raises():
     h = rep_code(7)
     with pytest.raises(Exception, match="invalid CSS code"):
         css_decode_sim(hx=h, hz=h, error_rate=0.05, run_sim=0)
+
+
+def test_sim_sharded_over_mesh(surface):
+    """use_mesh=1: batch shards across the 8 virtual devices."""
+    import jax
+
+    sim = run_sim(surface, use_mesh=1, batch_size=64, target_runs=128)
+    assert sim.batch_size % len(jax.devices()) == 0
+    out = json.loads(sim.run_decode_sim())
+    assert out["run_count"] == 128
+
+
+def test_sim_single_device_mode(surface):
+    sim = run_sim(surface, use_mesh=0, batch_size=50, target_runs=100)
+    out = json.loads(sim.run_decode_sim())
+    assert out["run_count"] == 100
