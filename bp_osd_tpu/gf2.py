@@ -23,6 +23,9 @@ API contract mirrors ``ldpc.mod2`` as used by the reference:
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
 import scipy.sparse as sp
 
@@ -88,14 +91,44 @@ def popcount(P: np.ndarray) -> np.ndarray:
     return np.bitwise_count(P).sum(axis=-1).astype(np.int64)
 
 
+def _native_lib():
+    """The C++ elimination kernel, or None (env/compiler unavailable)."""
+    if os.environ.get("BP_OSD_TPU_NO_NATIVE"):
+        return None
+    from .native import load
+
+    return load()
+
+
 def _echelon_packed(P: np.ndarray, n: int, T: np.ndarray | None, full: bool):
     """In-place packed Gaussian elimination.
 
     Scans columns left to right; eliminates below the pivot (and above too
     when ``full``).  Mutates ``P`` (and ``T``).  Returns ``(rank,
-    pivot_cols)``.
+    pivot_cols)``.  Dispatches to the native C++ kernel when available
+    (bit-identical semantics); NumPy fallback otherwise.
     """
     m = P.shape[0]
+    lib = _native_lib()
+    if lib is not None and m and n:
+        Pc = np.ascontiguousarray(P)
+        W = Pc.shape[1]
+        piv = np.zeros(max(min(m, n), 1), dtype=np.int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        Tc = np.ascontiguousarray(T) if T is not None else None
+        Wt = Tc.shape[1] if Tc is not None else 0
+        r = lib.gf2_row_echelon(
+            Pc.ctypes.data_as(u64p),
+            Tc.ctypes.data_as(u64p) if Tc is not None else None,
+            m, W, n, Wt, int(full),
+            piv.ctypes.data_as(i64p),
+        )
+        if Pc is not P:
+            P[...] = Pc
+        if T is not None and Tc is not T:
+            T[...] = Tc
+        return r, piv[:r]
     r = 0
     pivot_cols = []
     for c in range(n):
@@ -151,6 +184,11 @@ def rank(A) -> int:
     """GF(2) rank (reference call sites: ``css.py:50``, ``hgp.py:29``)."""
     Ad = to_dense(A)
     P, n = pack_rows(Ad)
+    m = P.shape[0]
+    lib = _native_lib()
+    if lib is not None and m and n:
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        return int(lib.gf2_rank(P.ctypes.data_as(u64p), m, P.shape[1], n))
     r, _ = _echelon_packed(P, n, None, False)
     return r
 
