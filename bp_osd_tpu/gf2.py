@@ -91,9 +91,18 @@ def popcount(P: np.ndarray) -> np.ndarray:
     return np.bitwise_count(P).sum(axis=-1).astype(np.int64)
 
 
-def _native_lib():
-    """The C++ elimination kernel, or None (env/compiler unavailable)."""
+# Above this row count NumPy's bulk fancy-index XOR out-streams the C++
+# row-at-a-time eliminator (measured crossover ~2-3k rows); below it the
+# native kernel is 3-6x faster.  A blocked (M4RM) native path could move
+# this ceiling later.
+_NATIVE_MAX_ROWS = 2048
+
+
+def _native_lib(m: int | None = None):
+    """The C++ elimination kernel, or None (env/compiler/size gate)."""
     if os.environ.get("BP_OSD_TPU_NO_NATIVE"):
+        return None
+    if m is not None and m > _NATIVE_MAX_ROWS:
         return None
     from .native import load
 
@@ -109,7 +118,7 @@ def _echelon_packed(P: np.ndarray, n: int, T: np.ndarray | None, full: bool):
     (bit-identical semantics); NumPy fallback otherwise.
     """
     m = P.shape[0]
-    lib = _native_lib()
+    lib = _native_lib(m)
     if lib is not None and m and n:
         Pc = np.ascontiguousarray(P)
         W = Pc.shape[1]
@@ -185,7 +194,7 @@ def rank(A) -> int:
     Ad = to_dense(A)
     P, n = pack_rows(Ad)
     m = P.shape[0]
-    lib = _native_lib()
+    lib = _native_lib(m)
     if lib is not None and m and n:
         u64p = ctypes.POINTER(ctypes.c_uint64)
         return int(lib.gf2_rank(P.ctypes.data_as(u64p), m, P.shape[1], n))

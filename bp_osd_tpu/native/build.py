@@ -35,7 +35,7 @@ def _compile() -> str | None:
             with tempfile.TemporaryDirectory() as tmp:
                 tmp_so = os.path.join(tmp, "gf2_native.so")
                 subprocess.run(
-                    [cxx, "-O3", "-shared", "-fPIC", "-o", tmp_so, _SRC],
+                    [cxx, "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", tmp_so, _SRC],
                     check=True,
                     capture_output=True,
                     timeout=120,
