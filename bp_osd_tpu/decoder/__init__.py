@@ -2,6 +2,7 @@
 
 from .bp import BPResult, bp_decode, llr_from_channel
 from .bposd import BpDecoder, BpOsdDecoder, bp_decoder, bposd_decoder
+from .layered import LayeredTannerGraph, bp_decode_layered
 from .osd import OsdResult, osd_decode
 from .tanner import TannerGraph
 
@@ -16,4 +17,6 @@ __all__ = [
     "BpOsdDecoder",
     "bp_decoder",
     "bposd_decoder",
+    "LayeredTannerGraph",
+    "bp_decode_layered",
 ]

@@ -52,6 +52,10 @@ def _as_channel_probs(n, error_rate, channel_probs, error_channel):
     return np.full(n, float(error_rate))
 
 
+_MAX_DISPATCH = 4096  # decode_batch auto-chunks above this (OSD search
+# intermediates scale with batch; one dispatch per chunk keeps HBM bounded)
+
+
 class BpDecoder:
     """Belief-propagation syndrome decoder (no post-processing)."""
 
@@ -65,13 +69,28 @@ class BpDecoder:
         channel_probs=None,
         error_channel=None,
         input_vector_type: str = "syndrome",
+        schedule: str = "parallel",
         **unused,
     ):
         if sp.issparse(parity_check_matrix):
             H = parity_check_matrix.toarray()
         else:
             H = np.asarray(parity_check_matrix)
-        self.graph = TannerGraph(H)
+        if schedule in ("serial", "layered"):
+            from .layered import LayeredTannerGraph
+
+            self.schedule = "layered"
+            self.graph = LayeredTannerGraph(H)
+            # OSD works in original check indexing; keep an unpermuted graph
+            self._osd_graph = TannerGraph(H)
+        elif schedule == "parallel":
+            self.schedule = "parallel"
+            self.graph = TannerGraph(H)
+            self._osd_graph = self.graph
+        else:
+            raise ValueError(
+                f"schedule must be parallel/serial/layered, got {schedule!r}"
+            )
         self.m, self.n = self.graph.m, self.graph.n
         self.bp_method = normalize_bp_method(bp_method)
         self.max_iter = int(max_iter) if max_iter else self.graph.n
@@ -112,6 +131,17 @@ class BpDecoder:
         if key not in self._jit_cache:
 
             def fn(graph, syndromes, llr0):
+                if self.schedule == "layered":
+                    from .layered import bp_decode_layered
+
+                    return bp_decode_layered(
+                        graph,
+                        syndromes,
+                        llr0,
+                        bp_method=self.bp_method,
+                        max_iter=self.max_iter,
+                        ms_scaling_factor=self.ms_scaling_factor,
+                    )
                 return bp_decode(
                     graph,
                     syndromes,
@@ -180,7 +210,9 @@ class BpOsdDecoder(BpDecoder):
         )
         self.osd_method = normalize_osd_method(osd_method)
         self.osd_order = int(osd_order)
-        self._osd_consts = build_osd_consts(self.graph, self.osd_method, self.osd_order)
+        self._osd_consts = build_osd_consts(
+            self._osd_graph, self.osd_method, self.osd_order
+        )
         if backend not in ("xla", "pallas"):
             raise ValueError(f"backend must be 'xla' or 'pallas', got {backend!r}")
         self.backend = backend
@@ -199,7 +231,7 @@ class BpOsdDecoder(BpDecoder):
         key = "bposd"
         if key not in self._jit_cache:
 
-            def fn(graph, syndromes, llr0, osd_consts, bp_ops):
+            def fn(graph, osd_graph, syndromes, llr0, osd_consts, bp_ops):
                 if self.backend == "pallas":
                     from ..ops.pallas_bp import bp_decode_pallas
 
@@ -211,6 +243,17 @@ class BpOsdDecoder(BpDecoder):
                     )
                     bp = BPResult(hard=hard, llr=llr, converged=conv,
                                   iterations=iters)
+                elif self.schedule == "layered":
+                    from .layered import bp_decode_layered
+
+                    bp = bp_decode_layered(
+                        graph,
+                        syndromes,
+                        llr0,
+                        bp_method=self.bp_method,
+                        max_iter=self.max_iter,
+                        ms_scaling_factor=self.ms_scaling_factor,
+                    )
                 else:
                     bp = bp_decode(
                         graph,
@@ -221,7 +264,7 @@ class BpOsdDecoder(BpDecoder):
                         ms_scaling_factor=self.ms_scaling_factor,
                     )
                 osd = osd_decode(
-                    graph,
+                    osd_graph,
                     syndromes,
                     bp.llr,
                     osd_method=self.osd_method,
@@ -237,19 +280,30 @@ class BpOsdDecoder(BpDecoder):
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
-    def decode_batch(self, syndromes, channel_probs=None) -> np.ndarray:
+    def decode_batch(self, syndromes, channel_probs=None,
+                     chunk_size: int = _MAX_DISPATCH) -> np.ndarray:
         syndromes = np.atleast_2d(np.asarray(syndromes))
         B = syndromes.shape[0]
-        bp, osd0, osdw = self._bposd_fn(B)(
-            self.graph, syndromes, self._llr0(channel_probs),
-            self._osd_consts, self._bp_operators,
-        )
-        self.bp_decoding_batch = np.asarray(bp.hard)
-        self.log_prob_ratios_batch = np.asarray(bp.llr)
-        self.converge_batch = np.asarray(bp.converged)
-        self.iter_batch = np.asarray(bp.iterations)
-        self.osd0_decoding_batch = np.asarray(osd0)
-        self.osdw_decoding_batch = np.asarray(osdw)
+        llr0 = self._llr0(channel_probs)
+        outs = {k: [] for k in ("hard", "llr", "conv", "iters", "osd0", "osdw")}
+        for lo in range(0, B, chunk_size):
+            chunk = syndromes[lo : lo + chunk_size]
+            bp, osd0, osdw = self._bposd_fn(chunk.shape[0])(
+                self.graph, self._osd_graph, chunk, llr0,
+                self._osd_consts, self._bp_operators,
+            )
+            outs["hard"].append(np.asarray(bp.hard))
+            outs["llr"].append(np.asarray(bp.llr))
+            outs["conv"].append(np.asarray(bp.converged))
+            outs["iters"].append(np.asarray(bp.iterations))
+            outs["osd0"].append(np.asarray(osd0))
+            outs["osdw"].append(np.asarray(osdw))
+        self.bp_decoding_batch = np.concatenate(outs["hard"])
+        self.log_prob_ratios_batch = np.concatenate(outs["llr"])
+        self.converge_batch = np.concatenate(outs["conv"])
+        self.iter_batch = np.concatenate(outs["iters"])
+        self.osd0_decoding_batch = np.concatenate(outs["osd0"])
+        self.osdw_decoding_batch = np.concatenate(outs["osdw"])
         return self.osdw_decoding_batch
 
     def decode(self, syndrome) -> np.ndarray:
