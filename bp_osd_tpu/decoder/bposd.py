@@ -280,11 +280,81 @@ class BpOsdDecoder(BpDecoder):
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
+    def _osd_only_fn(self):
+        key = "osd_only"
+        if key not in self._jit_cache:
+
+            def fn(osd_graph, syndromes, llr, osd_consts):
+                osd = osd_decode(
+                    osd_graph,
+                    syndromes,
+                    llr,
+                    osd_method=self.osd_method,
+                    osd_order=self.osd_order,
+                    consts=osd_consts,
+                    backend=self.backend,
+                )
+                return osd.osd0, osd.osdw
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def _decode_compact(self, syndromes, llr0, chunk_size, osd_bucket=1024):
+        """Two-phase decode: BP on everything, OSD only on BP failures
+        (compacted into fixed-size buckets to keep shapes static).
+
+        At moderate error rates most samples converge under BP, so this
+        skips the expensive elimination for them entirely.
+        """
+        B = syndromes.shape[0]
+        n = self.n
+        bp_fn = self._bp_fn(0)
+        hard = np.empty((B, n), np.uint8)
+        llr = np.empty((B, n), np.float32)
+        conv = np.empty((B,), bool)
+        iters = np.empty((B,), np.int32)
+        for lo in range(0, B, chunk_size):
+            res = bp_fn(self.graph, syndromes[lo : lo + chunk_size], llr0)
+            hi = lo + res.hard.shape[0]
+            hard[lo:hi] = np.asarray(res.hard)
+            llr[lo:hi] = np.asarray(res.llr)
+            conv[lo:hi] = np.asarray(res.converged)
+            iters[lo:hi] = np.asarray(res.iterations)
+
+        osd0 = hard.copy()
+        osdw = hard.copy()
+        failed = np.flatnonzero(~conv)
+        osd_fn = self._osd_only_fn()
+        for lo in range(0, failed.size, osd_bucket):
+            idx = failed[lo : lo + osd_bucket]
+            # pad to the next power of two (capped at the bucket) so the
+            # jitted OSD sees a bounded set of shapes across calls
+            bucket = min(osd_bucket, max(1 << (idx.size - 1).bit_length(), 8))
+            pad = bucket - idx.size
+            take = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
+            o0, ow = osd_fn(
+                self._osd_graph, syndromes[take], llr[take], self._osd_consts
+            )
+            osd0[idx] = np.asarray(o0)[: idx.size]
+            osdw[idx] = np.asarray(ow)[: idx.size]
+        return hard, llr, conv, iters, osd0, osdw
+
     def decode_batch(self, syndromes, channel_probs=None,
-                     chunk_size: int = _MAX_DISPATCH) -> np.ndarray:
+                     chunk_size: int = _MAX_DISPATCH,
+                     compact_osd: bool = False) -> np.ndarray:
         syndromes = np.atleast_2d(np.asarray(syndromes))
         B = syndromes.shape[0]
         llr0 = self._llr0(channel_probs)
+        if compact_osd:
+            (
+                self.bp_decoding_batch,
+                self.log_prob_ratios_batch,
+                self.converge_batch,
+                self.iter_batch,
+                self.osd0_decoding_batch,
+                self.osdw_decoding_batch,
+            ) = self._decode_compact(syndromes, llr0, chunk_size)
+            return self.osdw_decoding_batch
         outs = {k: [] for k in ("hard", "llr", "conv", "iters", "osd0", "osdw")}
         for lo in range(0, B, chunk_size):
             chunk = syndromes[lo : lo + chunk_size]

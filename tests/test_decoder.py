@@ -260,3 +260,22 @@ def test_pallas_backend_matches_xla_through_decoder():
     assert np.array_equal(out_ref, out_pal)
     assert np.array_equal(ref.converge_batch, pal.converge_batch)
     assert np.array_equal(ref.osd0_decoding_batch, pal.osd0_decoding_batch)
+
+
+def test_compact_osd_matches_fused_path():
+    """compact_osd=True (OSD only on BP failures) must give the same
+    decodings as the fused path."""
+    surface = hgp(rep_code(3), rep_code(3))
+    H = surface.hz.toarray()
+    bpd = BpOsdDecoder(H, error_rate=0.08, max_iter=13, bp_method="ms",
+                       ms_scaling_factor=0.625, osd_method="osd_cs",
+                       osd_order=4)
+    B = 64
+    errors = (RNG.random((B, 13)) < 0.12).astype(np.uint8)
+    synds = (errors @ H.T) % 2
+    fused = bpd.decode_batch(synds).copy()
+    fused_conv = bpd.converge_batch.copy()
+    compact = bpd.decode_batch(synds, compact_osd=True).copy()
+    assert np.array_equal(bpd.converge_batch, fused_conv)
+    assert np.array_equal(compact, fused)
+    assert np.array_equal((compact @ H.T) % 2, synds)
