@@ -1,6 +1,6 @@
 """Quantum and classical code constructions (host-side, construction-time)."""
 
-from .classical import hamming_code, mkmn_16_4_6, rep_code, ring_code
+from .classical import (hamming_code, mkmn_16_4_6, mkmn_20_5_8, mkmn_24_6_10, rep_code, ring_code)
 from .code_util import (
     compute_code_parameters,
     compute_exact_code_distance,
@@ -17,6 +17,8 @@ __all__ = [
     "ring_code",
     "hamming_code",
     "mkmn_16_4_6",
+    "mkmn_20_5_8",
+    "mkmn_24_6_10",
     "compute_exact_code_distance",
     "compute_code_parameters",
     "construct_generator_matrix",

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
-__all__ = ["rep_code", "ring_code", "hamming_code", "mkmn_16_4_6"]
+__all__ = ["rep_code", "ring_code", "hamming_code", "mkmn_16_4_6", "mkmn_20_5_8", "mkmn_24_6_10"]
 
 
 def rep_code(distance: int) -> sp.csr_matrix:
@@ -82,8 +82,64 @@ _MKMN_16_4_6_ROWS = (
 
 def mkmn_16_4_6() -> sp.csr_matrix:
     """The 12x16 MKMN seed code of the [[400,16,6]] benchmark HGP code."""
+    return _rows_to_csr(_MKMN_16_4_6_ROWS, 16)
+
+
+# Seeds of the larger benchmark HGP codes the reference ships logicals for
+# ([[625,25,8]] and [[900,36,10]]; reference
+# ``examples/codes/classical_seed_codes/mkmn_{20_5_8,24_6_10}.txt``).
+_MKMN_20_5_8_ROWS = (
+    0b10100000000000011000,
+    0b10000100000001000010,
+    0b00011000001000100000,
+    0b00010010000001000100,
+    0b01000000101100000000,
+    0b00001100010000010000,
+    0b00100001001010000000,
+    0b00000001000000001110,
+    0b00000101000100100000,
+    0b00010000110010000000,
+    0b01000000000010101000,
+    0b10000010100000000001,
+    0b01000000000001010001,
+    0b00001000000100000101,
+    0b00100010010000000010,
+)
+
+_MKMN_24_6_10_ROWS = (
+    0b000001001100000000000010,
+    0b010000001000000011000000,
+    0b100010000000000100001000,
+    0b100000000010100000000100,
+    0b000010010000101000000000,
+    0b010000100000000100100000,
+    0b000000010000000010000011,
+    0b000000000111000000100000,
+    0b100001000000010000000001,
+    0b011000010000000000010000,
+    0b000000000000100001010010,
+    0b000000100100000010001000,
+    0b001100000000010100000000,
+    0b000110000000000000010001,
+    0b000000000000010001100100,
+    0b001001000010001000000000,
+    0b000000101001000000000100,
+    0b000100000001001000001000,
+)
+
+
+def mkmn_20_5_8() -> sp.csr_matrix:
+    """The 15x20 MKMN seed of the [[625,25,8]] benchmark HGP code."""
+    return _rows_to_csr(_MKMN_20_5_8_ROWS, 20)
+
+
+def mkmn_24_6_10() -> sp.csr_matrix:
+    """The 18x24 MKMN seed of the [[900,36,10]] benchmark HGP code."""
+    return _rows_to_csr(_MKMN_24_6_10_ROWS, 24)
+
+
+def _rows_to_csr(rows, width: int) -> sp.csr_matrix:
     H = np.array(
-        [[(r >> c) & 1 for c in range(16)] for r in _MKMN_16_4_6_ROWS],
-        dtype=np.uint8,
+        [[(r >> c) & 1 for c in range(width)] for r in rows], dtype=np.uint8
     )
     return sp.csr_matrix(H, dtype=np.uint8)
