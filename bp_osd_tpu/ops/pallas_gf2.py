@@ -41,7 +41,7 @@ def _round_up(x: int, mult: int) -> int:
 
 def _elim_kernel(perm_ref, synd_ref, h_ref,
                  hout_ref, sout_ref, pid_ref, prow_ref, pmask_ref,
-                 *, n, m, W, r, m_pad):
+                 *, n, m, W, r, m_pad, safe_indexing):
     """One grid step: full elimination for a block of BS samples.
 
     Refs (batch on lanes):
@@ -62,10 +62,17 @@ def _elim_kernel(perm_ref, synd_ref, h_ref,
     valid_row = row_iota < m
 
     h0 = h_ref[:, :, :]
+    if safe_indexing:
+        perm_all = perm_ref[:, :]  # [n, BS] kept live; one-hot row select
+        n_iota = jax.lax.broadcasted_iota(jnp.int32, (n, BS), 0)
 
     def step(t, carry):
-        h, s, used, rr, pid, prow = carry
-        col = perm_ref[pl.ds(t, 1), :][0]  # [BS] lane vector
+        if safe_indexing:
+            h, s, used, rr, pid, prow, pmask = carry
+            col = jnp.sum(jnp.where(n_iota == t, perm_all, 0), axis=0)
+        else:
+            h, s, used, rr, pid, prow = carry
+            col = perm_ref[pl.ds(t, 1), :][0]  # [BS] lane vector
         w = (col >> 5)[None, None, :]  # [1,1,BS]
         b = (col & 31)[None, :]  # [1,BS]
 
@@ -93,21 +100,37 @@ def _elim_kernel(perm_ref, synd_ref, h_ref,
         hit = (slot_iota == rr[None, :]) & has[None, :]  # [r, BS]
         pid = jnp.where(hit, col[None, :], pid)
         prow = jnp.where(hit, pr[None, :], prow)
-        pmask_ref[pl.ds(t, 1), :] = has.astype(jnp.int32)[None, :]
 
         used = used | onehot_pr.astype(jnp.int32)
         rr = rr + has.astype(jnp.int32)
+        if safe_indexing:
+            pmask = jnp.where(n_iota == t, has.astype(jnp.int32)[None, :], pmask)
+            return h, s, used, rr, pid, prow, pmask
+        pmask_ref[pl.ds(t, 1), :] = has.astype(jnp.int32)[None, :]
         return h, s, used, rr, pid, prow
 
-    init = (
-        h0,
-        synd_ref[:, :],
-        jnp.zeros((m_pad, BS), jnp.int32),
-        jnp.zeros((BS,), jnp.int32),
-        jnp.zeros((r, BS), jnp.int32),
-        jnp.zeros((r, BS), jnp.int32),
-    )
-    h, s, used, rr, pid, prow = jax.lax.fori_loop(0, n, step, init)
+    if safe_indexing:
+        init = (
+            h0,
+            synd_ref[:, :],
+            jnp.zeros((m_pad, BS), jnp.int32),
+            jnp.zeros((BS,), jnp.int32),
+            jnp.zeros((r, BS), jnp.int32),
+            jnp.zeros((r, BS), jnp.int32),
+            jnp.zeros((n, BS), jnp.int32),
+        )
+        h, s, used, rr, pid, prow, pmask = jax.lax.fori_loop(0, n, step, init)
+        pmask_ref[:, :] = pmask
+    else:
+        init = (
+            h0,
+            synd_ref[:, :],
+            jnp.zeros((m_pad, BS), jnp.int32),
+            jnp.zeros((BS,), jnp.int32),
+            jnp.zeros((r, BS), jnp.int32),
+            jnp.zeros((r, BS), jnp.int32),
+        )
+        h, s, used, rr, pid, prow = jax.lax.fori_loop(0, n, step, init)
 
     hout_ref[:, :, :] = h
     sout_ref[:, :] = s
@@ -115,13 +138,17 @@ def _elim_kernel(perm_ref, synd_ref, h_ref,
     prow_ref[:, :] = prow
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "W", "r", "block"))
-def _eliminate_pallas_impl(h_packed_t, perm_t, synd_t, *, n, m, W, r, block):
+@functools.partial(
+    jax.jit, static_argnames=("n", "m", "W", "r", "block", "safe_indexing")
+)
+def _eliminate_pallas_impl(h_packed_t, perm_t, synd_t, *, n, m, W, r, block,
+                           safe_indexing):
     B = perm_t.shape[1]
     m_pad = h_packed_t.shape[1]
     grid = B // block
 
-    kernel = functools.partial(_elim_kernel, n=n, m=m, W=W, r=r, m_pad=m_pad)
+    kernel = functools.partial(_elim_kernel, n=n, m=m, W=W, r=r, m_pad=m_pad,
+                               safe_indexing=safe_indexing)
     hout, sout, pid, prow, pmask = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -148,7 +175,8 @@ def _eliminate_pallas_impl(h_packed_t, perm_t, synd_t, *, n, m, W, r, block):
     return hout, sout, pid, prow, pmask
 
 
-def eliminate_pallas(graph, perm, synd, *, block: int = 256, interpret: bool = False):
+def eliminate_pallas(graph, perm, synd, *, block: int = 256,
+                     interpret: bool = False, safe_indexing: bool = True):
     """Drop-in replacement for ``decoder.osd._eliminate`` backed by Pallas.
 
     Returns the same 5-tuple ``(h_work [B, m, W], s_work [B, m],
@@ -183,14 +211,15 @@ def eliminate_pallas(graph, perm, synd, *, block: int = 256, interpret: bool = F
     ).T  # [m_pad, B]
     perm_t = jnp.asarray(perm, jnp.int32).T  # [n, B]
 
+    kw = dict(n=n, m=m, W=W, r=r, block=block, safe_indexing=safe_indexing)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             hout, sout, pid, prow, pmask = _eliminate_pallas_impl(
-                h_t, perm_t, synd_t, n=n, m=m, W=W, r=r, block=block
+                h_t, perm_t, synd_t, **kw
             )
     else:
         hout, sout, pid, prow, pmask = _eliminate_pallas_impl(
-            h_t, perm_t, synd_t, n=n, m=m, W=W, r=r, block=block
+            h_t, perm_t, synd_t, **kw
         )
 
     h_work = jax.lax.bitcast_convert_type(

@@ -38,3 +38,16 @@ def test_pallas_eliminate_matches_xla(code_fn):
     assert np.array_equal(np.asarray(pmask_ref), np.asarray(pmask_pal))
     assert np.array_equal(np.asarray(s_ref), np.asarray(s_pal))
     assert np.array_equal(np.asarray(h_ref), np.asarray(h_pal))
+
+
+def test_pallas_eliminate_dynamic_indexing_variant():
+    H = hgp(rep_code(3), rep_code(3)).hz.toarray()
+    g = TannerGraph(H)
+    B = 8
+    errors = (RNG.random((B, g.n)) < 0.07).astype(np.uint8)
+    synd = (errors @ H.T % 2).astype(np.int32)
+    perm = np.argsort(RNG.normal(0, 1, (B, g.n)), axis=1, kind="stable").astype(np.int32)
+    a = eliminate_pallas(g, perm, synd, block=8, interpret=True, safe_indexing=True)
+    b = eliminate_pallas(g, perm, synd, block=8, interpret=True, safe_indexing=False)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
