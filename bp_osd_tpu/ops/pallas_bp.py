@@ -99,10 +99,13 @@ def _bp_kernel(synd_ref, llr0_ref, ev_ref, ht_ref, mask_ref,
             excl_sgn = 1.0 - 2.0 * jnp.mod(neg_total - neg, 2.0)
             mag = jnp.where(maskb, jnp.abs(v2c), _BIG)
             min1 = jnp.min(mag, axis=1, keepdims=True)
-            # first-minimum mask without argmin (Mosaic-friendlier):
-            # candidates are lanes equal to the min; keep only the first
-            at_min = (mag == min1).astype(jnp.float32)
-            is_min = (at_min * (jnp.cumsum(at_min, axis=1) == 1.0)) > 0
+            # first-minimum mask without argmin/cumsum (neither lowers in
+            # Mosaic): min-reduce the slot index over ties
+            slot = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+            idx_at_min = jnp.min(
+                jnp.where(mag == min1, slot, wr), axis=1, keepdims=True
+            )
+            is_min = slot == idx_at_min
             min2 = jnp.min(jnp.where(is_min, _BIG, mag), axis=1, keepdims=True)
             excl_min = jnp.where(is_min, min2, min1)
             if alpha_fixed == 0.0:
@@ -113,19 +116,29 @@ def _bp_kernel(synd_ref, llr0_ref, ev_ref, ht_ref, mask_ref,
         else:  # product_sum
             t = jnp.tanh(0.5 * v2c)
             t = jnp.where(maskb, t, 1.0)
+            # exclusive products unrolled over the (small, static) slot
+            # axis — cumprod/flip do not lower in Mosaic
             ones = jnp.ones_like(t[:, :1, :])
-            fwd = jnp.concatenate(
-                [ones, jnp.cumprod(t, axis=1)[:, :-1, :]], axis=1
+            fwd = [ones]
+            for j in range(wr - 1):
+                fwd.append(fwd[-1] * t[:, j : j + 1, :])
+            bwd = [ones]
+            for j in range(wr - 1, 0, -1):
+                bwd.insert(0, bwd[0] * t[:, j : j + 1, :])
+            excl = jnp.concatenate(
+                [fwd[j] * bwd[j] for j in range(wr)], axis=1
             )
-            rt = jnp.flip(t, axis=1)
-            bwd = jnp.flip(
-                jnp.concatenate(
-                    [ones, jnp.cumprod(rt, axis=1)[:, :-1, :]], axis=1
-                ),
-                axis=1,
-            )
-            excl = jnp.clip(syn_sign * fwd * bwd, -_TANH_CLIP, _TANH_CLIP)
-            return 2.0 * jnp.arctanh(excl)
+            excl = jnp.clip(syn_sign * excl, -_TANH_CLIP, _TANH_CLIP)
+            # 2*atanh(x) = log((1+x)/(1-x)); atanh has no Mosaic lowering
+            return jnp.log((1.0 + excl) / (1.0 - excl))
+
+    # conv/iters are carried at FULL lane width [BS, n_pad]: Mosaic cannot
+    # round-trip width-1 loop carries whose update mixes a keepdims-reduce
+    # layout ({0,*}) with the replicated entry layout ({*,*}).  The
+    # per-sample mismatch count is replicated across all n_pad lanes via an
+    # MXU matmul against a ones matrix, so every flag keeps a plain tiled
+    # layout and broadcasts against [BS, n_pad] tensors for free.
+    ones_mn = jnp.ones((m_pad, n_pad), jnp.float32)
 
     def body(state):
         it, v2c, hard_out, llr_out, iters, conv = state
@@ -137,33 +150,41 @@ def _bp_kernel(synd_ref, llr0_ref, ev_ref, ht_ref, mask_ref,
         synd_hat = jnp.mod(
             jnp.dot(hard, ht, preferred_element_type=jnp.float32), 2.0
         )
-        ok = jnp.all(synd_hat == synd, axis=1)  # [BS]
-        live = conv == 0
-        hard_out = jnp.where(live[:, None], hard, hard_out)
-        llr_out = jnp.where(live[:, None], total, llr_out)
-        iters = jnp.where(live, it, iters)
-        conv = conv | ok.astype(jnp.int32)
+        neq = (synd_hat != synd).astype(jnp.float32)  # [BS, m_pad]
+        miss = jnp.dot(neq, ones_mn, preferred_element_type=jnp.float32)
+        ok = (miss == 0.0).astype(jnp.float32)  # [BS, n_pad] replicated
+        live = conv == 0.0  # [BS, n_pad] bool
+        hard_out = jnp.where(live, hard, hard_out)
+        llr_out = jnp.where(live, total, llr_out)
+        # iters := it while live; `it` advances by 1 per live step so this
+        # running sum is identical and avoids a dynamic-scalar select
+        iters = iters + live.astype(jnp.float32)
+        conv = jnp.maximum(conv, ok)
         return it + 1, v2c_next, hard_out, llr_out, iters, conv
 
     def cond(state):
         it = state[0]
         conv = state[5]
-        return (it <= max_iter) & (jnp.min(conv) == 0)
+        return (it <= max_iter) & (jnp.min(conv) == 0.0)
 
+    # carry inits derived from llr0 (not jnp.zeros): a splat constant gets
+    # the replicated {*,*} layout, the body's updates are tiled {0,0}, and
+    # Mosaic cannot relayout tiled -> replicated at the loop back-edge
+    zeros_bn = llr0 * 0.0
     init = (
         jnp.int32(1),
         v2c0,
-        jnp.zeros((BS, n_pad), jnp.float32),
+        zeros_bn,
         llr0,
-        jnp.zeros((BS,), jnp.int32),
-        jnp.zeros((BS,), jnp.int32),
+        zeros_bn,
+        zeros_bn,
     )
     _, _, hard_out, llr_out, iters, conv = jax.lax.while_loop(cond, body, init)
 
     hard_ref[:, :] = hard_out.astype(jnp.int32)
     llr_ref[:, :] = llr_out
-    conv_ref[:, :] = conv[:, None]
-    iters_ref[:, :] = iters[:, None]
+    conv_ref[:, :] = conv.astype(jnp.int32)
+    iters_ref[:, :] = iters.astype(jnp.int32)
 
 
 @functools.partial(
@@ -191,14 +212,14 @@ def _bp_pallas_impl(synd, llr0, ev, ht, mask,
         out_specs=[
             pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((B, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, n_pad), jnp.int32),
         ],
     )(synd, llr0, ev, ht, mask)
 
