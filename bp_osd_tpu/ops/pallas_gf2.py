@@ -186,6 +186,13 @@ def eliminate_pallas(graph, perm, synd, *, block: int = 256,
     m, n, W, r = graph.m, graph.n, graph.num_words, graph.rank
     B_in = perm.shape[0]
     m_pad = _round_up(m, 128)
+    # fit the block into the ~16 MiB scoped-VMEM budget: the kernel keeps
+    # the packed matrix in AND out plus all carries resident per sample,
+    # and Mosaic double-buffers the grid blocks
+    bytes_per_sample = 4 * 2 * (2 * W * m_pad + 3 * m_pad + 3 * n + 2 * r)
+    budget = 12 * 1024 * 1024
+    while block > 128 and block * bytes_per_sample > budget:
+        block //= 2
     # pad the batch up to a lane-aligned block multiple (extra samples get
     # the identity column order and a zero syndrome; sliced off at the end)
     block = min(block, _round_up(B_in, 128))
