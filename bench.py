@@ -66,12 +66,16 @@ def main():
             bp_method="minimum_sum", max_iter=32,
             ms_scaling_factor=0.0, block=128,
         )
+        # sort failures to the front so converged samples cluster into
+        # whole elimination blocks, which skip + exit immediately
+        order = jnp.argsort(conv.astype(jnp.int32), stable=True)
         osd = osd_decode(
-            graph_arg, syndromes, llr,
+            graph_arg, syndromes[order], llr[order],
             osd_method="osd_cs", osd_order=7, consts=osd_consts,
-            backend="pallas",
+            backend="pallas", skip=conv[order],
         )
-        osdw = jnp.where(conv[:, None], hard, osd.osdw)
+        inv = jnp.argsort(order)
+        osdw = jnp.where(conv[:, None], hard, osd.osdw[inv])
         # reduce on-device so the host transfer is O(B), not O(B*n)
         return jnp.sum(osdw, axis=1), jnp.sum(conv)
 

@@ -263,18 +263,25 @@ class BpOsdDecoder(BpDecoder):
                         max_iter=self.max_iter,
                         ms_scaling_factor=self.ms_scaling_factor,
                     )
+                # BP-converged samples keep their BP decoding, so their OSD
+                # work is pure waste: sort failures to the front and skip
+                # the elimination for converged samples (whole Pallas
+                # blocks of skips exit immediately)
+                order = jnp.argsort(bp.converged.astype(jnp.int32), stable=True)
                 osd = osd_decode(
                     osd_graph,
-                    syndromes,
-                    bp.llr,
+                    syndromes[order],
+                    bp.llr[order],
                     osd_method=self.osd_method,
                     osd_order=self.osd_order,
                     consts=osd_consts,
                     backend=self.backend,
+                    skip=bp.converged[order],
                 )
+                inv = jnp.argsort(order)
                 keep_bp = bp.converged[:, None]
-                osd0 = jnp.where(keep_bp, bp.hard, osd.osd0)
-                osdw = jnp.where(keep_bp, bp.hard, osd.osdw)
+                osd0 = jnp.where(keep_bp, bp.hard, osd.osd0[inv])
+                osdw = jnp.where(keep_bp, bp.hard, osd.osdw[inv])
                 return bp, osd0, osdw
 
             self._jit_cache[key] = jax.jit(fn)

@@ -134,7 +134,7 @@ def _popcount_sum(words):
     return jnp.sum(jax.lax.population_count(words), axis=-1).astype(jnp.int32)
 
 
-def _eliminate(graph: TannerGraph, perm, synd):
+def _eliminate(graph: TannerGraph, perm, synd, skip=None):
     """Batched Gauss-Jordan elimination of H in per-sample column order.
 
     Swap-free formulation: pivot rows stay in place and are tracked in
@@ -146,6 +146,8 @@ def _eliminate(graph: TannerGraph, perm, synd):
     Args:
       perm:  [B, n] column visiting order (reliability sort).
       synd:  [B, m] syndrome bits (int32).
+      skip:  [B] optional bool/int; marked samples start "done" (their
+             outputs are undefined and must be masked by the caller).
 
     Returns:
       h_work:     [B, m, W] fully reduced packed matrix.
@@ -204,12 +206,17 @@ def _eliminate(graph: TannerGraph, perm, synd):
         t, _, _, _, rr, _, _, _ = state
         return (t < n) & (jnp.min(rr) < r)
 
+    rr0 = (
+        jnp.zeros((B,), jnp.int32)
+        if skip is None
+        else jnp.asarray(skip).astype(jnp.int32) * r
+    )
     init = (
         jnp.int32(0),
         h0,
         synd.astype(jnp.int32),
         jnp.zeros((B, m), bool),
-        jnp.zeros((B,), jnp.int32),
+        rr0,
         jnp.zeros((B, r), jnp.int32),
         jnp.zeros((B, r), jnp.int32),
         jnp.zeros((B, n), bool),
@@ -374,8 +381,15 @@ def osd_decode(
     osd_order: int = 0,
     consts: OsdConsts | None = None,
     backend: str = "xla",
+    skip=None,
 ) -> OsdResult:
     """Run OSD on a batch given BP soft outputs ``llr`` ([B, n]).
+
+    ``skip`` ([B] bool, optional) marks samples that do not need OSD (BP
+    already converged): their elimination is bypassed and their outputs
+    are undefined — the caller selects the BP decoding for them anyway.
+    Cluster skips (sort the batch by the skip flag) so whole Pallas blocks
+    exit immediately.
 
     ``consts`` are the host-built candidate tables from
     :func:`build_osd_consts`.  When jitting on TPU, build them outside and
@@ -401,11 +415,11 @@ def osd_decode(
         from ..ops.pallas_gf2 import eliminate_pallas
 
         h_work, s_work, pivot_ids, pivot_rows, pivot_mask = eliminate_pallas(
-            graph, perm, synd
+            graph, perm, synd, skip=skip
         )
     else:
         h_work, s_work, pivot_ids, pivot_rows, pivot_mask = _eliminate(
-            graph, perm, synd
+            graph, perm, synd, skip=skip
         )
     # pivot i lives in row pivot_rows[:, i]; gather once (O(B*r) scalars)
     s_rows = jnp.take_along_axis(s_work, pivot_rows, axis=1)  # [B, r]

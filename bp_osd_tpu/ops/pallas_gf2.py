@@ -39,7 +39,7 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-def _elim_kernel(perm_ref, synd_ref, h_ref,
+def _elim_kernel(perm_ref, synd_ref, skip_ref, h_ref,
                  hout_ref, sout_ref, pid_ref, prow_ref, pmask_ref,
                  *, n, m, W, r, m_pad, safe_indexing):
     """One grid step: full elimination for a block of BS samples.
@@ -47,12 +47,20 @@ def _elim_kernel(perm_ref, synd_ref, h_ref,
     Refs (batch on lanes):
       perm_ref  [n, BS]        int32   column visit order
       synd_ref  [m_pad, BS]    int32   syndrome bits (pad rows zero)
+      skip_ref  [8, BS]        int32   row 0: 1 = skip this sample entirely
       h_ref     [W, m_pad, BS] int32   packed H (bitcast from uint32)
       hout_ref  [W, m_pad, BS] int32   reduced matrix out
       sout_ref  [m_pad, BS]    int32   reduced syndrome out
       pid_ref   [r, BS]        int32   pivot column ids
       prow_ref  [r, BS]        int32   pivot row ids
       pmask_ref [n, BS]        int32   1 where sorted position made a pivot
+
+    The column loop is a ``while_loop`` that exits as soon as every sample
+    in the block holds ``r`` pivots — for a full-row-rank H that typically
+    happens after ~``r + small overshoot`` of the ``n`` columns.  Skipped
+    samples start with ``rr = r`` (already "done"), so a block whose
+    samples all carry ``skip = 1`` exits before touching the matrix; the
+    caller clusters skips into whole blocks by sorting the batch.
     """
     BS = perm_ref.shape[1]
 
@@ -62,16 +70,17 @@ def _elim_kernel(perm_ref, synd_ref, h_ref,
     valid_row = row_iota < m
 
     h0 = h_ref[:, :, :]
+    rr0 = skip_ref[:, :][0] * r  # skipped samples start "done"
     if safe_indexing:
         perm_all = perm_ref[:, :]  # [n, BS] kept live; one-hot row select
         n_iota = jax.lax.broadcasted_iota(jnp.int32, (n, BS), 0)
 
-    def step(t, carry):
+    def step(carry):
         if safe_indexing:
-            h, s, used, rr, pid, prow, pmask = carry
+            t, h, s, used, rr, pid, prow, pmask = carry
             col = jnp.sum(jnp.where(n_iota == t, perm_all, 0), axis=0)
         else:
-            h, s, used, rr, pid, prow = carry
+            t, h, s, used, rr, pid, prow = carry
             col = perm_ref[pl.ds(t, 1), :][0]  # [BS] lane vector
         w = (col >> 5)[None, None, :]  # [1,1,BS]
         b = (col & 31)[None, :]  # [1,BS]
@@ -105,32 +114,54 @@ def _elim_kernel(perm_ref, synd_ref, h_ref,
         rr = rr + has.astype(jnp.int32)
         if safe_indexing:
             pmask = jnp.where(n_iota == t, has.astype(jnp.int32)[None, :], pmask)
-            return h, s, used, rr, pid, prow, pmask
+            return t + 1, h, s, used, rr, pid, prow, pmask
         pmask_ref[pl.ds(t, 1), :] = has.astype(jnp.int32)[None, :]
-        return h, s, used, rr, pid, prow
+        return t + 1, h, s, used, rr, pid, prow
+
+    def unfinished(carry):
+        t, rr = carry[0], carry[4]
+        return (t < n) & (jnp.min(rr) < r)
 
     if safe_indexing:
         init = (
+            jnp.int32(0),
             h0,
             synd_ref[:, :],
             jnp.zeros((m_pad, BS), jnp.int32),
-            jnp.zeros((BS,), jnp.int32),
+            rr0,
             jnp.zeros((r, BS), jnp.int32),
             jnp.zeros((r, BS), jnp.int32),
             jnp.zeros((n, BS), jnp.int32),
         )
-        h, s, used, rr, pid, prow, pmask = jax.lax.fori_loop(0, n, step, init)
+        # the exit test is a cross-lane reduction + scalar sync; checking it
+        # every step costs more than the steps it saves, so run CHUNK
+        # columns per check (steps with t >= n or all pivots found are
+        # no-ops: `has` is gated by rr < r, and column selection past n
+        # matches nothing, selecting col = 0 with colbits of a used row set)
+        CHUNK = 16
+
+        def chunk(carry):
+            return jax.lax.fori_loop(
+                0, CHUNK, lambda _, c: step(c), carry
+            )
+
+        _, h, s, used, rr, pid, prow, pmask = jax.lax.while_loop(
+            unfinished, chunk, init
+        )
         pmask_ref[:, :] = pmask
     else:
+        # early exit can leave later rows of pmask unwritten — pre-zero it
+        pmask_ref[:, :] = jnp.zeros((n, BS), jnp.int32)
         init = (
+            jnp.int32(0),
             h0,
             synd_ref[:, :],
             jnp.zeros((m_pad, BS), jnp.int32),
-            jnp.zeros((BS,), jnp.int32),
+            rr0,
             jnp.zeros((r, BS), jnp.int32),
             jnp.zeros((r, BS), jnp.int32),
         )
-        h, s, used, rr, pid, prow = jax.lax.fori_loop(0, n, step, init)
+        _, h, s, used, rr, pid, prow = jax.lax.while_loop(unfinished, step, init)
 
     hout_ref[:, :, :] = h
     sout_ref[:, :] = s
@@ -141,8 +172,8 @@ def _elim_kernel(perm_ref, synd_ref, h_ref,
 @functools.partial(
     jax.jit, static_argnames=("n", "m", "W", "r", "block", "safe_indexing")
 )
-def _eliminate_pallas_impl(h_packed_t, perm_t, synd_t, *, n, m, W, r, block,
-                           safe_indexing):
+def _eliminate_pallas_impl(h_packed_t, perm_t, synd_t, skip_t, *, n, m, W, r,
+                           block, safe_indexing):
     B = perm_t.shape[1]
     m_pad = h_packed_t.shape[1]
     grid = B // block
@@ -155,6 +186,7 @@ def _eliminate_pallas_impl(h_packed_t, perm_t, synd_t, *, n, m, W, r, block,
         in_specs=[
             pl.BlockSpec((n, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, m_pad, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -171,17 +203,22 @@ def _eliminate_pallas_impl(h_packed_t, perm_t, synd_t, *, n, m, W, r, block,
             jax.ShapeDtypeStruct((r, B), jnp.int32),
             jax.ShapeDtypeStruct((n, B), jnp.int32),
         ],
-    )(perm_t, synd_t, h_packed_t)
+    )(perm_t, synd_t, skip_t, h_packed_t)
     return hout, sout, pid, prow, pmask
 
 
-def eliminate_pallas(graph, perm, synd, *, block: int = 256,
+def eliminate_pallas(graph, perm, synd, *, skip=None, block: int = 256,
                      interpret: bool = False, safe_indexing: bool = True):
     """Drop-in replacement for ``decoder.osd._eliminate`` backed by Pallas.
 
     Returns the same 5-tuple ``(h_work [B, m, W], s_work [B, m],
     pivot_ids, pivot_rows, pivot_mask)``; internally uses the
     batch-on-lanes ``[W, m_pad, B]`` layout and converts at the boundary.
+
+    ``skip`` ([B] bool/int, optional) marks samples whose elimination can
+    be skipped entirely (e.g. BP already converged) — their five outputs
+    are undefined and must be masked by the caller.  Sort the batch so
+    skipped samples cluster into whole blocks to realize the saving.
     """
     m, n, W, r = graph.m, graph.n, graph.num_words, graph.rank
     B_in = perm.shape[0]
@@ -197,6 +234,10 @@ def eliminate_pallas(graph, perm, synd, *, block: int = 256,
     # the identity column order and a zero syndrome; sliced off at the end)
     block = min(block, _round_up(B_in, 128))
     B = _round_up(B_in, block)
+    if skip is None:
+        skip = jnp.zeros((B_in,), jnp.int32)
+    else:
+        skip = jnp.asarray(skip).astype(jnp.int32)
     if B != B_in:
         perm = jnp.concatenate(
             [jnp.asarray(perm, jnp.int32),
@@ -208,6 +249,8 @@ def eliminate_pallas(graph, perm, synd, *, block: int = 256,
              jnp.zeros((B - B_in, synd.shape[1]), jnp.int32)],
             axis=0,
         )
+        # padding samples are pure skips: never eliminated, sliced off below
+        skip = jnp.concatenate([skip, jnp.ones((B - B_in,), jnp.int32)])
 
     h_t = jnp.asarray(graph.H_packed).T  # [W, m]
     h_t = jnp.pad(h_t, ((0, 0), (0, m_pad - m)))
@@ -217,16 +260,17 @@ def eliminate_pallas(graph, perm, synd, *, block: int = 256,
         jnp.asarray(synd, jnp.int32), ((0, 0), (0, m_pad - m))
     ).T  # [m_pad, B]
     perm_t = jnp.asarray(perm, jnp.int32).T  # [n, B]
+    skip_t = jnp.broadcast_to(skip[None, :], (8, B))  # sublane-tile aligned
 
     kw = dict(n=n, m=m, W=W, r=r, block=block, safe_indexing=safe_indexing)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             hout, sout, pid, prow, pmask = _eliminate_pallas_impl(
-                h_t, perm_t, synd_t, **kw
+                h_t, perm_t, synd_t, skip_t, **kw
             )
     else:
         hout, sout, pid, prow, pmask = _eliminate_pallas_impl(
-            h_t, perm_t, synd_t, **kw
+            h_t, perm_t, synd_t, skip_t, **kw
         )
 
     h_work = jax.lax.bitcast_convert_type(
