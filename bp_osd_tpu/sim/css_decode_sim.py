@@ -59,6 +59,7 @@ _DEFAULT_INPUT = {
     "error_bar_precision_cutoff": 1e-3,
     "batch_size": 0,  # 0 -> auto (new: decode batch per dispatch)
     "use_mesh": -1,  # -1 auto: shard batch over all devices when >1 (new)
+    "backend": "auto",  # new: xla | pallas | auto (pallas on single-chip TPU)
 }
 
 _OUTPUT_VALUES = {
@@ -196,6 +197,11 @@ class css_decode_sim:
         n_dev = len(jax.devices())
         if self.use_mesh == -1:
             self.use_mesh = 1 if n_dev > 1 else 0
+        if self.backend == "auto":
+            # the fused Pallas kernels need Mosaic (real TPU) and run
+            # un-sharded; the XLA path covers CPU and mesh execution
+            on_tpu = jax.devices()[0].platform not in ("cpu",)
+            self.backend = "pallas" if (on_tpu and not self.use_mesh) else "xla"
         if self.batch_size == 0:
             # auto: fill a useful dispatch without exhausting memory
             self.batch_size = int(min(max(self.target_runs, 1), 1024))
@@ -217,9 +223,18 @@ class css_decode_sim:
         # compiler — see TannerGraph docstring)
         from ..decoder.osd import build_osd_consts
 
+        if self.backend == "pallas":
+            from ..ops.pallas_bp import build_bp_operators
+
+            bp_ops_z = build_bp_operators(self._graph_z)
+            bp_ops_x = build_bp_operators(self._graph_x)
+        else:
+            bp_ops_z = bp_ops_x = None
         self._sim_consts = {
             "graph_z": self._graph_z,
             "graph_x": self._graph_x,
+            "bp_ops_z": bp_ops_z,
+            "bp_ops_x": bp_ops_x,
             "osd_z": build_osd_consts(self._graph_z, self.osd_method, int(self.osd_order)),
             "osd_x": build_osd_consts(self._graph_x, self.osd_method, int(self.osd_order)),
             "hx": np.asarray(self.hx.toarray(), np.float32),
@@ -241,9 +256,33 @@ class css_decode_sim:
             )
             return jnp.mod(prod, 2.0).astype(jnp.int32)
 
-        def decode_side(graph, osd_consts, synd, channel_probs):
-            bp = bp_decode(graph, synd, llr_from_channel(channel_probs), **bp_kwargs)
-            osd = osd_decode(graph, synd, bp.llr, consts=osd_consts, **osd_kwargs)
+        backend = self.backend
+
+        def decode_side(graph, osd_consts, bp_ops, synd, channel_probs):
+            llr0 = llr_from_channel(channel_probs)
+            if backend == "pallas":
+                from ..decoder.bp import BPResult
+                from ..ops.pallas_bp import bp_decode_pallas
+
+                hard, llr, convd, iters = bp_decode_pallas(
+                    graph, bp_ops, synd, llr0, **bp_kwargs
+                )
+                bp = BPResult(hard=hard, llr=llr, converged=convd,
+                              iterations=iters)
+                # cluster BP-converged samples into whole Pallas blocks so
+                # their elimination is skipped entirely
+                order = jnp.argsort(convd.astype(jnp.int32), stable=True)
+                inv = jnp.argsort(order)
+                osd = osd_decode(
+                    graph, synd[order], llr[order], consts=osd_consts,
+                    backend="pallas", skip=convd[order], **osd_kwargs
+                )
+                osd = osd._replace(osd0=osd.osd0[inv], osdw=osd.osdw[inv])
+            else:
+                bp = bp_decode(graph, synd, llr0, **bp_kwargs)
+                osd = osd_decode(
+                    graph, synd, bp.llr, consts=osd_consts, **osd_kwargs
+                )
             keep = bp.converged[:, None]
             osd0 = jnp.where(keep, bp.hard.astype(jnp.int32), osd.osd0.astype(jnp.int32))
             osdw = jnp.where(keep, bp.hard.astype(jnp.int32), osd.osdw.astype(jnp.int32))
@@ -260,6 +299,7 @@ class css_decode_sim:
 
         def batch_fn(keys, consts):
             graph_z, graph_x = consts["graph_z"], consts["graph_x"]
+            ops_z, ops_x = consts["bp_ops_z"], consts["bp_ops_x"]
             osd_z, osd_x = consts["osd_z"], consts["osd_x"]
             hx_d, hz_d = consts["hx"], consts["hz"]
             lx_d, lz_d = consts["lx"], consts["lz"]
@@ -276,16 +316,16 @@ class css_decode_sim:
             synd_x = mod2mul(error_x, hz_d)
 
             if channel_update is None:
-                bp_z, osd0_z, osdw_z = decode_side(graph_z, osd_z, synd_z, pcz + pcy)
-                bp_x, osd0_x, osdw_x = decode_side(graph_x, osd_x, synd_x, pcx + pcy)
+                bp_z, osd0_z, osdw_z = decode_side(graph_z, osd_z, ops_z, synd_z, pcz + pcy)
+                bp_x, osd0_x, osdw_x = decode_side(graph_x, osd_x, ops_x, synd_x, pcx + pcy)
             elif channel_update == "z->x":
-                bp_z, osd0_z, osdw_z = decode_side(graph_z, osd_z, synd_z, pcz + pcy)
+                bp_z, osd0_z, osdw_z = decode_side(graph_z, osd_z, ops_z, synd_z, pcz + pcy)
                 probs_x = bayes_update(osdw_z, pcz, pcx, pcy)
-                bp_x, osd0_x, osdw_x = decode_side(graph_x, osd_x, synd_x, probs_x)
+                bp_x, osd0_x, osdw_x = decode_side(graph_x, osd_x, ops_x, synd_x, probs_x)
             elif channel_update == "x->z":
-                bp_x, osd0_x, osdw_x = decode_side(graph_x, osd_x, synd_x, pcx + pcy)
+                bp_x, osd0_x, osdw_x = decode_side(graph_x, osd_x, ops_x, synd_x, pcx + pcy)
                 probs_z = bayes_update(osdw_x, pcx, pcz, pcy)
-                bp_z, osd0_z, osdw_z = decode_side(graph_z, osd_z, synd_z, probs_z)
+                bp_z, osd0_z, osdw_z = decode_side(graph_z, osd_z, ops_z, synd_z, probs_z)
             else:
                 raise ValueError(
                     f"channel_update must be None, 'x->z' or 'z->x', "
