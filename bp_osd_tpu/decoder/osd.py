@@ -231,9 +231,13 @@ def _extract_t_columns(graph, h_rows, perm, pivot_mask):
     """Original ids and reduced-column bits of the non-pivot ("bad") set T.
 
     ``h_rows [B, r, W]`` are the pivot rows of the reduced matrix.  The
-    per-column word selection runs as two f32 one-hot matmuls over the
-    uint16 halves (MXU work; exact since halves < 2^16 < 2^24) instead of a
-    minor-axis gather, which lowers to a slow scalar loop on TPU.
+    per-column word selection runs as one-hot matmuls over 8-bit chunks of
+    each word (MXU work) instead of a minor-axis gather, which lowers to a
+    slow scalar loop on TPU.  Chunks are 8 bits so the selection is exact
+    even when the backend computes f32 matmuls at bf16 input precision
+    (values <= 255 are exactly representable in bf16; wider chunks silently
+    lose low bits — this was a real decode-corrupting bug, caught by
+    ``tests/test_cpu_baseline.py``).
     """
     n, r = graph.n, graph.rank
     k = n - r
@@ -248,15 +252,16 @@ def _extract_t_columns(graph, h_rows, perm, pivot_mask):
 
     wordidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
     onehot_w = (wordidx == w[:, :, None]).astype(jnp.float32)  # [B, k, W]
-    lo = (h_rows & jnp.uint32(0xFFFF)).astype(jnp.float32)
-    hi = (h_rows >> jnp.uint32(16)).astype(jnp.float32)
-    sel_lo = jnp.einsum(
-        "brw,bkw->brk", lo, onehot_w, preferred_element_type=jnp.float32
-    )
-    sel_hi = jnp.einsum(
-        "brw,bkw->brk", hi, onehot_w, preferred_element_type=jnp.float32
-    )
-    words = sel_lo.astype(jnp.uint32) | (sel_hi.astype(jnp.uint32) << 16)
+    words = jnp.zeros((B, r, k), jnp.uint32)
+    for shift in (0, 8, 16, 24):
+        chunk = ((h_rows >> jnp.uint32(shift)) & jnp.uint32(0xFF)).astype(
+            jnp.float32
+        )
+        sel = jnp.einsum(
+            "brw,bkw->brk", chunk, onehot_w,
+            preferred_element_type=jnp.float32,
+        )
+        words = words | (sel.astype(jnp.uint32) << shift)
     t_bits = ((words >> b[:, None, :]) & 1).astype(jnp.int32)  # [B, r, k]
     return t_cols, t_bits
 
