@@ -387,6 +387,7 @@ def osd_decode(
     consts: OsdConsts | None = None,
     backend: str = "xla",
     skip=None,
+    interpret: bool = False,
 ) -> OsdResult:
     """Run OSD on a batch given BP soft outputs ``llr`` ([B, n]).
 
@@ -416,11 +417,22 @@ def osd_decode(
     llr = jnp.asarray(llr, jnp.float32)
     perm = jnp.argsort(llr, axis=1, stable=True).astype(jnp.int32)  # [B, n]
 
+    if backend == "pallas" and method == "osd_cs" and osd_order > 0 and n > r:
+        # fully fused path: elimination + combination sweep in one VMEM-
+        # resident kernel; the reduced matrix never touches HBM
+        from ..ops.pallas_osd import osd_cs_pallas
+
+        e0, e_w = osd_cs_pallas(
+            graph, perm, synd, osd_order=osd_order, skip=skip,
+            interpret=interpret,
+        )
+        return OsdResult(osd0=e0.astype(jnp.uint8), osdw=e_w.astype(jnp.uint8))
+
     if backend == "pallas":
         from ..ops.pallas_gf2 import eliminate_pallas
 
         h_work, s_work, pivot_ids, pivot_rows, pivot_mask = eliminate_pallas(
-            graph, perm, synd, skip=skip
+            graph, perm, synd, skip=skip, interpret=interpret
         )
     else:
         h_work, s_work, pivot_ids, pivot_rows, pivot_mask = _eliminate(

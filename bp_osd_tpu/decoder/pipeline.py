@@ -1,0 +1,134 @@
+"""Batched BP+OSD decode pipeline with staged long-iteration BP.
+
+The reference example workload runs BP to ``max_iter = 0 -> N`` (400 for
+the [[400,16,6]] flagship; reference ``examples/qldpc_decode_example.py:19``,
+``README.md:183``).  Running every sample to N iterations wastes ~10x work:
+most samples converge within a few tens of iterations, but a Pallas block
+only early-exits when ALL its samples converge.  The staged pipeline
+restores the early-exit economics while preserving exact per-sample
+reference semantics:
+
+1. Stage 1: BP capped at ``stage1_iters`` on the whole batch.
+2. Stage 2 (only when ``max_iter > stage1_iters``): re-decode ONLY the
+   stage-1 failures, clustered into whole blocks, from scratch with the
+   full ``max_iter``.  BP is deterministic, so a from-scratch re-decode
+   follows the identical message trajectory — a sample that would converge
+   at iteration 97 of a straight ``max_iter`` run converges at iteration
+   97 here, with identical ``hard``/``llr``/``iterations`` outputs.  The
+   only cost is re-running the first ``stage1_iters`` iterations for the
+   failures (<= 10% overhead at the flagship's failure rate).
+3. OSD on the remaining failures (skip-clustered so converged blocks are
+   bypassed), merged back in original batch order.
+
+Semantics therefore match a single ``bp_decode(max_iter=max_iter)`` +
+``osd_decode`` exactly, while costing roughly
+``stage1 + fail_rate * max_iter`` instead of ``max_iter`` per sample.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .bp import BPResult, bp_decode
+from .osd import OsdConsts, osd_decode
+from .tanner import TannerGraph
+
+__all__ = ["BpOsdBatch", "decode_pipeline"]
+
+
+class BpOsdBatch(NamedTuple):
+    osdw: jnp.ndarray  # [B, n] uint8 final decoding (BP if converged)
+    osd0: jnp.ndarray  # [B, n] uint8 OSD-0 decoding (BP if converged)
+    bp_hard: jnp.ndarray  # [B, n] uint8 BP hard decision at freeze point
+    converged: jnp.ndarray  # [B] bool BP convergence
+    iterations: jnp.ndarray  # [B] int32
+
+
+def decode_pipeline(
+    graph: TannerGraph,
+    syndromes,
+    llr0,
+    *,
+    bp_method: str = "minimum_sum",
+    max_iter: int = 0,
+    ms_scaling_factor: float = 0.625,
+    osd_method: str = "osd_cs",
+    osd_order: int = 0,
+    consts: OsdConsts | None = None,
+    backend: str = "xla",
+    bp_operators=None,
+    stage1_iters: int = 32,
+    bp_block: int = 128,
+    interpret: bool = False,
+) -> BpOsdBatch:
+    """Full batched BP+OSD decode; jit-compatible (all shapes static).
+
+    ``backend="pallas"`` uses the fused VMEM-resident kernels and requires
+    ``bp_operators`` (from ``ops.pallas_bp.build_bp_operators``); pass
+    graph/operators/consts through any enclosing jit as ARGUMENTS.
+    """
+    if max_iter == 0:
+        max_iter = graph.n
+    n = graph.n
+    synd = jnp.asarray(syndromes)
+    if synd.ndim == 1:
+        synd = synd[None, :]
+    B = synd.shape[0]
+    llr0 = jnp.broadcast_to(jnp.asarray(llr0, jnp.float32), (B, n))
+
+    if backend == "pallas":
+        from ..ops.pallas_bp import bp_decode_pallas
+
+        kw = dict(bp_method=bp_method, ms_scaling_factor=ms_scaling_factor,
+                  block=bp_block, interpret=interpret)
+        s1 = min(int(stage1_iters), int(max_iter))
+        hard, llr, conv, iters = bp_decode_pallas(
+            graph, bp_operators, synd, llr0, max_iter=s1, **kw
+        )
+        if max_iter > s1:
+            # stage 2: failures first, whole converged blocks skip instantly
+            order = jnp.argsort(conv.astype(jnp.int32), stable=True)
+            inv = jnp.argsort(order)
+            h2, l2, c2, i2 = bp_decode_pallas(
+                graph, bp_operators, synd[order], llr0[order],
+                max_iter=int(max_iter), skip=conv[order], **kw
+            )
+            # every stage-1 failure re-ran to the full max_iter: take its
+            # stage-2 state wholesale (converged or not) so hard/llr/iters
+            # are identical to a straight max_iter run
+            upd = ~conv
+            hard = jnp.where(upd[:, None], h2[inv], hard)
+            llr = jnp.where(upd[:, None], l2[inv], llr)
+            iters = jnp.where(upd, i2[inv], iters)
+            conv = conv | c2[inv]
+        bp = BPResult(hard=hard, llr=llr, converged=conv, iterations=iters)
+
+        order = jnp.argsort(bp.converged.astype(jnp.int32), stable=True)
+        inv = jnp.argsort(order)
+        osd = osd_decode(
+            graph, synd[order], bp.llr[order],
+            osd_method=osd_method, osd_order=osd_order, consts=consts,
+            backend="pallas", skip=bp.converged[order], interpret=interpret,
+        )
+        osdw = osd.osdw[inv]
+        osd0 = osd.osd0[inv]
+    else:
+        bp = bp_decode(
+            graph, synd, llr0, bp_method=bp_method, max_iter=int(max_iter),
+            ms_scaling_factor=ms_scaling_factor,
+        )
+        osd = osd_decode(
+            graph, synd, bp.llr,
+            osd_method=osd_method, osd_order=osd_order, consts=consts,
+        )
+        osdw, osd0 = osd.osdw, osd.osd0
+
+    keep = bp.converged[:, None]
+    osdw = jnp.where(keep, bp.hard, osdw).astype(jnp.uint8)
+    osd0 = jnp.where(keep, bp.hard, osd0).astype(jnp.uint8)
+    return BpOsdBatch(
+        osdw=osdw, osd0=osd0, bp_hard=bp.hard,
+        converged=bp.converged, iterations=bp.iterations,
+    )

@@ -65,7 +65,7 @@ def build_bp_operators(graph):
     return {"edge_var": edge_var, "h_t": h_t, "mask": mask}
 
 
-def _bp_kernel(synd_ref, llr0_ref, ev_ref, ht_ref, mask_ref,
+def _bp_kernel(synd_ref, llr0_ref, skip_ref, ev_ref, ht_ref, mask_ref,
                hard_ref, llr_ref, conv_ref, iters_ref,
                *, method, max_iter, alpha_fixed, wr, m_pad, n_pad, BS):
     synd = synd_ref[:, :].astype(jnp.float32)  # [BS, m_pad]
@@ -169,7 +169,9 @@ def _bp_kernel(synd_ref, llr0_ref, ev_ref, ht_ref, mask_ref,
 
     # carry inits derived from llr0 (not jnp.zeros): a splat constant gets
     # the replicated {*,*} layout, the body's updates are tiled {0,0}, and
-    # Mosaic cannot relayout tiled -> replicated at the loop back-edge
+    # Mosaic cannot relayout tiled -> replicated at the loop back-edge.
+    # conv starts at the (lane-replicated) skip flags: skipped samples are
+    # born "converged", so an all-skip block exits before iteration one.
     zeros_bn = llr0 * 0.0
     init = (
         jnp.int32(1),
@@ -177,7 +179,7 @@ def _bp_kernel(synd_ref, llr0_ref, ev_ref, ht_ref, mask_ref,
         zeros_bn,
         llr0,
         zeros_bn,
-        zeros_bn,
+        skip_ref[:, :].astype(jnp.float32),
     )
     _, _, hard_out, llr_out, iters, conv = jax.lax.while_loop(cond, body, init)
 
@@ -191,7 +193,7 @@ def _bp_kernel(synd_ref, llr0_ref, ev_ref, ht_ref, mask_ref,
     jax.jit,
     static_argnames=("method", "max_iter", "alpha_fixed", "wr", "m_pad", "n_pad", "block"),
 )
-def _bp_pallas_impl(synd, llr0, ev, ht, mask,
+def _bp_pallas_impl(synd, llr0, skip, ev, ht, mask,
                     *, method, max_iter, alpha_fixed, wr, m_pad, n_pad, block):
     B = synd.shape[0]
     grid = B // block
@@ -204,6 +206,7 @@ def _bp_pallas_impl(synd, llr0, ev, ht, mask,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((wr * m_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_pad, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -221,7 +224,7 @@ def _bp_pallas_impl(synd, llr0, ev, ht, mask,
             jax.ShapeDtypeStruct((B, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((B, n_pad), jnp.int32),
         ],
-    )(synd, llr0, ev, ht, mask)
+    )(synd, llr0, skip, ev, ht, mask)
 
 
 def bp_decode_pallas(
@@ -235,12 +238,19 @@ def bp_decode_pallas(
     ms_scaling_factor: float = 0.625,
     block: int = 128,
     interpret: bool = False,
+    skip=None,
 ):
     """Fused-BP decode; returns ``(hard [B, n] uint8, llr [B, n] f32,
     converged [B] bool, iterations [B] int32)`` like ``bp_decode``.
 
     ``operators`` is the dict from :func:`build_bp_operators` — pass it
     through any enclosing jit as an argument.
+
+    ``skip`` ([B] bool/int, optional) marks samples born "converged": their
+    ``hard`` is zeros, ``llr`` is the prior, ``converged`` reads True, and
+    an all-skip block exits before its first iteration — sort the batch so
+    skips cluster into whole blocks (used by the staged long-``max_iter``
+    pipeline, which re-decodes only prior BP failures).
     """
     method = normalize_bp_method(bp_method)
     if max_iter == 0:
@@ -260,9 +270,15 @@ def bp_decode_pallas(
     synd_p = jnp.pad(syndromes.astype(jnp.int32), ((0, 0), (0, m_pad - m)))
     llr0 = jnp.broadcast_to(jnp.asarray(llr0, jnp.float32), (B, n))
     llr0_p = jnp.pad(llr0, ((0, 0), (0, n_pad - n)), constant_values=1.0)
+    if skip is None:
+        skip_p = jnp.zeros((B, n_pad), jnp.int32)
+    else:
+        skip_p = jnp.broadcast_to(
+            jnp.asarray(skip).astype(jnp.int32)[:, None], (B, n_pad)
+        )
 
     args = (
-        synd_p, llr0_p,
+        synd_p, llr0_p, skip_p,
         jnp.asarray(operators["edge_var"]),
         jnp.asarray(operators["h_t"]),
         jnp.asarray(operators["mask"]),

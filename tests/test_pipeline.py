@@ -1,0 +1,75 @@
+"""Staged decode pipeline vs straight XLA decode (semantic equality)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bp_osd_tpu.codes import hgp, rep_code
+from bp_osd_tpu.decoder import TannerGraph, bp_decode, llr_from_channel, osd_decode
+from bp_osd_tpu.decoder.osd import build_osd_consts
+from bp_osd_tpu.decoder.pipeline import decode_pipeline
+from bp_osd_tpu.ops.pallas_bp import build_bp_operators
+
+
+def _workload(B=64, p=0.08, seed=3):
+    H = np.asarray(hgp(rep_code(3), rep_code(3)).hx.toarray(), np.uint8)
+    graph = TannerGraph(H)
+    n = H.shape[1]
+    rng = np.random.default_rng(seed)
+    errors = (rng.random((B, n)) < p).astype(np.uint8)
+    synd = (errors @ H.T % 2).astype(np.uint8)
+    llr0 = np.broadcast_to(np.asarray(llr_from_channel(np.full(n, p))), (B, n))
+    return graph, synd, llr0
+
+
+def test_pipeline_xla_matches_components():
+    graph, synd, llr0 = _workload()
+    out = decode_pipeline(
+        graph, synd, llr0, bp_method="minimum_sum", max_iter=13,
+        ms_scaling_factor=0.0, osd_method="osd_cs", osd_order=4,
+        backend="xla",
+    )
+    bp = bp_decode(graph, synd, llr0, bp_method="minimum_sum", max_iter=13,
+                   ms_scaling_factor=0.0)
+    osd = osd_decode(graph, synd, bp.llr, osd_method="osd_cs", osd_order=4)
+    expect = np.where(np.asarray(bp.converged)[:, None], np.asarray(bp.hard),
+                      np.asarray(osd.osdw))
+    np.testing.assert_array_equal(np.asarray(out.osdw), expect)
+    np.testing.assert_array_equal(np.asarray(out.converged),
+                                  np.asarray(bp.converged))
+    np.testing.assert_array_equal(np.asarray(out.iterations),
+                                  np.asarray(bp.iterations))
+
+
+def test_pipeline_staged_pallas_matches_straight_run():
+    """Stage-1 cap + failure re-decode must equal a straight long run.
+
+    Uses the pallas backend in interpret mode on the d=3 surface code with
+    a deliberately tiny stage-1 budget so stage 2 genuinely re-decodes.
+    """
+    graph, synd, llr0 = _workload(B=64, p=0.10)
+    consts = build_osd_consts(graph, "osd_cs", 4)
+    ops = build_bp_operators(graph)
+    staged = decode_pipeline(
+        graph, synd, llr0, bp_method="minimum_sum", max_iter=13,
+        ms_scaling_factor=0.0, osd_method="osd_cs", osd_order=4,
+        consts=consts, backend="pallas", bp_operators=ops,
+        stage1_iters=2, interpret=True,
+    )
+    straight = decode_pipeline(
+        graph, synd, llr0, bp_method="minimum_sum", max_iter=13,
+        ms_scaling_factor=0.0, osd_method="osd_cs", osd_order=4,
+        consts=consts, backend="pallas", bp_operators=ops,
+        stage1_iters=13, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(staged.converged),
+                                  np.asarray(straight.converged))
+    np.testing.assert_array_equal(np.asarray(staged.iterations),
+                                  np.asarray(straight.iterations))
+    np.testing.assert_array_equal(np.asarray(staged.osdw),
+                                  np.asarray(straight.osdw))
+    np.testing.assert_array_equal(np.asarray(staged.osd0),
+                                  np.asarray(straight.osd0))
+    np.testing.assert_array_equal(np.asarray(staged.bp_hard),
+                                  np.asarray(straight.bp_hard))
