@@ -74,7 +74,10 @@ class BPResult(NamedTuple):
     iterations: jnp.ndarray  # [B] int32 iteration of first convergence (or last)
 
 
-_BIG = jnp.float32(1e30)  # finite +inf stand-in (friendlier to the TPU AOT compiler)
+# finite +inf stand-in (friendlier to the TPU AOT compiler); python float —
+# a module-level jnp scalar would initialize the XLA backend at import time,
+# which breaks jax.distributed.initialize() ordering on multi-host
+_BIG = 1e30
 
 
 def _check_update_min_sum(v2c, chk_mask, syn_sign, alpha):

@@ -18,14 +18,22 @@ __all__ = ["initialize", "is_multi_host", "host_batch_slice"]
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
-    """Initialize JAX's distributed runtime (no-op on a single host).
+               process_id: int | None = None) -> bool:
+    """Initialize JAX's distributed runtime; True once multi-host is live.
 
     On TPU pods launched through standard tooling the arguments are
-    auto-detected; pass them explicitly for manual setups.
+    auto-detected; pass them explicitly for manual setups (the 2-process
+    CPU test ``tests/test_distributed.py`` does).  Explicit arguments make
+    failures fatal — swallowing them here masked real wiring errors; only
+    the argument-free auto-detect path may fall back to single-host.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOTE: do not probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize() refuses to run
+    from jax._src import distributed as _internal
+
+    if getattr(_internal.global_state, "client", None) is not None:
+        return True  # already initialized
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -33,8 +41,10 @@ def initialize(coordinator_address: str | None = None,
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        # single-host / already-initialized environments
-        pass
+        if explicit:
+            raise
+        return False  # single-host environment, nothing to wire up
+    return True
 
 
 def is_multi_host() -> bool:

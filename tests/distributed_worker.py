@@ -1,0 +1,89 @@
+"""Worker for the 2-process multi-host test (see test_distributed.py).
+
+Each process owns 2 virtual CPU devices; together they form a 4-device
+global mesh.  The worker decodes its host slice of a globally-sharded
+syndrome batch and cross-host-reduces the per-sample success count — the
+TPU-native replacement for the reference's "independent seeded processes
+on an HPC cluster" pattern (SURVEY.md §2.3).
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+
+    from bp_osd_tpu.parallel import distributed
+
+    ok = distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert ok, "distributed.initialize failed"
+    assert jax.process_count() == nproc, jax.process_count()
+    assert distributed.is_multi_host()
+    n_global = len(jax.devices())
+    assert n_global == 2 * nproc, n_global
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bp_osd_tpu.codes import hgp, rep_code
+    from bp_osd_tpu.decoder import TannerGraph, bp_decode, llr_from_channel
+    from bp_osd_tpu.parallel import host_batch_slice, make_mesh
+
+    qcode = hgp(rep_code(3), rep_code(3))
+    H = np.asarray(qcode.hx.toarray(), np.uint8)
+    graph = TannerGraph(H)
+    n = graph.n
+    B = 32
+    p = 0.1
+
+    # identical RNG on every host -> identical global batch
+    rng = np.random.default_rng(7)
+    errors = (rng.random((B, n)) < p).astype(np.uint8)
+    synd_global = (errors @ H.T % 2).astype(np.uint8)
+
+    start, size = host_batch_slice(B)
+    assert size == B // nproc and start == pid * size
+
+    mesh = make_mesh()  # spans all hosts' devices
+    sharding = NamedSharding(mesh, P("data"))
+    synd = jax.make_array_from_process_local_data(
+        sharding, synd_global[start:start + size], synd_global.shape
+    )
+    llr0 = jnp.broadcast_to(llr_from_channel(jnp.full(n, p)), (B, n))
+
+    @jax.jit
+    def count_converged(s):
+        bp = bp_decode(graph, s, llr0, bp_method="minimum_sum", max_iter=13,
+                       ms_scaling_factor=0.625)
+        return jnp.sum(bp.converged)  # cross-host all-reduce
+
+    got = int(count_converged(synd))
+
+    # single-process reference on the full batch, no mesh
+    ref_bp = bp_decode(graph, synd_global, np.asarray(llr0),
+                       bp_method="minimum_sum", max_iter=13,
+                       ms_scaling_factor=0.625)
+    expect = int(np.asarray(ref_bp.converged).sum())
+    assert got == expect, (got, expect)
+    print(f"WORKER_OK pid={pid} converged={got}/{B}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
