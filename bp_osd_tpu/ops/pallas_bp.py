@@ -191,19 +191,25 @@ def _bp_kernel(synd_ref, llr0_ref, skip_ref, ev_ref, ht_ref, mask_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("method", "max_iter", "alpha_fixed", "wr", "m_pad", "n_pad", "block"),
+    static_argnames=("method", "max_iter", "alpha_fixed", "wr", "m_pad",
+                     "n_pad", "block", "interpret"),
 )
 def _bp_pallas_impl(synd, llr0, skip, ev, ht, mask,
-                    *, method, max_iter, alpha_fixed, wr, m_pad, n_pad, block):
+                    *, method, max_iter, alpha_fixed, wr, m_pad, n_pad, block,
+                    interpret=False):
     B = synd.shape[0]
     grid = B // block
     kernel = functools.partial(
         _bp_kernel, method=method, max_iter=max_iter, alpha_fixed=alpha_fixed,
         wr=wr, m_pad=m_pad, n_pad=n_pad, BS=block,
     )
+    # plain pallas interpret (pure XLA lowering), NOT the Mosaic TPU
+    # simulator: the simulator's io_callback buffer machinery deadlocks
+    # under multi-device SPMD execution (shard_map on the CPU mesh)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((block, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -286,13 +292,9 @@ def bp_decode_pallas(
     kwargs = dict(
         method=method, max_iter=int(max_iter),
         alpha_fixed=float(ms_scaling_factor),
-        wr=wr, m_pad=m_pad, n_pad=n_pad, block=block,
+        wr=wr, m_pad=m_pad, n_pad=n_pad, block=block, interpret=interpret,
     )
-    if interpret:
-        with pltpu.force_tpu_interpret_mode():
-            hard, llr, conv, iters = _bp_pallas_impl(*args, **kwargs)
-    else:
-        hard, llr, conv, iters = _bp_pallas_impl(*args, **kwargs)
+    hard, llr, conv, iters = _bp_pallas_impl(*args, **kwargs)
 
     return (
         hard[:, :n].astype(jnp.uint8),

@@ -170,19 +170,23 @@ def _elim_kernel(perm_ref, synd_ref, skip_ref, h_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "m", "W", "r", "block", "safe_indexing")
+    jax.jit, static_argnames=("n", "m", "W", "r", "block", "safe_indexing",
+                              "interpret")
 )
 def _eliminate_pallas_impl(h_packed_t, perm_t, synd_t, skip_t, *, n, m, W, r,
-                           block, safe_indexing):
+                           block, safe_indexing, interpret=False):
     B = perm_t.shape[1]
     m_pad = h_packed_t.shape[1]
     grid = B // block
 
     kernel = functools.partial(_elim_kernel, n=n, m=m, W=W, r=r, m_pad=m_pad,
                                safe_indexing=safe_indexing)
+    # plain pallas interpret (pure XLA lowering), NOT the Mosaic TPU
+    # simulator: the simulator deadlocks under multi-device SPMD (shard_map)
     hout, sout, pid, prow, pmask = pl.pallas_call(
         kernel,
         grid=(grid,),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((n, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -262,16 +266,11 @@ def eliminate_pallas(graph, perm, synd, *, skip=None, block: int = 256,
     perm_t = jnp.asarray(perm, jnp.int32).T  # [n, B]
     skip_t = jnp.broadcast_to(skip[None, :], (8, B))  # sublane-tile aligned
 
-    kw = dict(n=n, m=m, W=W, r=r, block=block, safe_indexing=safe_indexing)
-    if interpret:
-        with pltpu.force_tpu_interpret_mode():
-            hout, sout, pid, prow, pmask = _eliminate_pallas_impl(
-                h_t, perm_t, synd_t, skip_t, **kw
-            )
-    else:
-        hout, sout, pid, prow, pmask = _eliminate_pallas_impl(
-            h_t, perm_t, synd_t, skip_t, **kw
-        )
+    kw = dict(n=n, m=m, W=W, r=r, block=block, safe_indexing=safe_indexing,
+              interpret=interpret)
+    hout, sout, pid, prow, pmask = _eliminate_pallas_impl(
+        h_t, perm_t, synd_t, skip_t, **kw
+    )
 
     h_work = jax.lax.bitcast_convert_type(
         jnp.transpose(hout, (2, 1, 0))[:B_in, :m, :], jnp.uint32

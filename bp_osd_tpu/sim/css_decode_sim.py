@@ -197,11 +197,14 @@ class css_decode_sim:
         n_dev = len(jax.devices())
         if self.use_mesh == -1:
             self.use_mesh = 1 if n_dev > 1 else 0
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
         if self.backend == "auto":
-            # the fused Pallas kernels need Mosaic (real TPU) and run
-            # un-sharded; the XLA path covers CPU and mesh execution
-            on_tpu = jax.devices()[0].platform not in ("cpu",)
-            self.backend = "pallas" if (on_tpu and not self.use_mesh) else "xla"
+            # fused Pallas kernels on TPU, single-chip or mesh-sharded via
+            # shard_map; the XLA path covers CPU
+            self.backend = "pallas" if on_tpu else "xla"
+        # on CPU the Pallas kernels run in interpret mode (tests/dryrun of
+        # the sharded-pallas composition on the virtual device mesh)
+        self._pallas_interpret = self.backend == "pallas" and not on_tpu
         if self.batch_size == 0:
             # auto: fill a useful dispatch without exhausting memory
             self.batch_size = int(min(max(self.target_runs, 1), 1024))
@@ -257,36 +260,19 @@ class css_decode_sim:
             return jnp.mod(prod, 2.0).astype(jnp.int32)
 
         backend = self.backend
+        interpret = self._pallas_interpret
+
+        from ..decoder.pipeline import decode_pipeline
 
         def decode_side(graph, osd_consts, bp_ops, synd, channel_probs):
+            """Staged BP+OSD pipeline; returns (BpOsdBatch, osd0, osdw)."""
             llr0 = llr_from_channel(channel_probs)
-            if backend == "pallas":
-                from ..decoder.bp import BPResult
-                from ..ops.pallas_bp import bp_decode_pallas
-
-                hard, llr, convd, iters = bp_decode_pallas(
-                    graph, bp_ops, synd, llr0, **bp_kwargs
-                )
-                bp = BPResult(hard=hard, llr=llr, converged=convd,
-                              iterations=iters)
-                # cluster BP-converged samples into whole Pallas blocks so
-                # their elimination is skipped entirely
-                order = jnp.argsort(convd.astype(jnp.int32), stable=True)
-                inv = jnp.argsort(order)
-                osd = osd_decode(
-                    graph, synd[order], llr[order], consts=osd_consts,
-                    backend="pallas", skip=convd[order], **osd_kwargs
-                )
-                osd = osd._replace(osd0=osd.osd0[inv], osdw=osd.osdw[inv])
-            else:
-                bp = bp_decode(graph, synd, llr0, **bp_kwargs)
-                osd = osd_decode(
-                    graph, synd, bp.llr, consts=osd_consts, **osd_kwargs
-                )
-            keep = bp.converged[:, None]
-            osd0 = jnp.where(keep, bp.hard.astype(jnp.int32), osd.osd0.astype(jnp.int32))
-            osdw = jnp.where(keep, bp.hard.astype(jnp.int32), osd.osdw.astype(jnp.int32))
-            return bp, osd0, osdw
+            out = decode_pipeline(
+                graph, synd, llr0, consts=osd_consts, backend=backend,
+                bp_operators=bp_ops, interpret=interpret,
+                **bp_kwargs, **osd_kwargs,
+            )
+            return out, out.osd0.astype(jnp.int32), out.osdw.astype(jnp.int32)
 
         def bayes_update(first_decoding, p_first, p_other, p_y):
             """Posterior channel for the second decoder given the first's
@@ -355,7 +341,7 @@ class css_decode_sim:
             osd0_success, osd0_weight = logical_outcome(osd0_x, osd0_z)
             bp_both = bp_z.converged & bp_x.converged
             bp_log_success, _ = logical_outcome(
-                bp_x.hard.astype(jnp.int32), bp_z.hard.astype(jnp.int32)
+                bp_x.bp_hard.astype(jnp.int32), bp_z.bp_hard.astype(jnp.int32)
             )
             bp_success = bp_both & bp_log_success
 
@@ -377,12 +363,20 @@ class css_decode_sim:
 
             self._mesh = make_mesh()
             batch_shard = NamedSharding(self._mesh, P("data"))
-            replicated = jax.tree_util.tree_map(
-                lambda _: NamedSharding(self._mesh, P()), self._sim_consts
-            )
-            self._batch_jit = jax.jit(
-                batch_fn, in_shardings=(batch_shard, replicated)
-            )
+            if backend == "pallas":
+                # shard_map: each device runs the full per-shard Pallas
+                # pipeline; outcomes stay sharded on the batch axis, so no
+                # collectives are needed inside the decode
+                from ..parallel.shard_pallas import shard_batch_fn
+
+                self._batch_jit = shard_batch_fn(batch_fn, self._mesh)
+            else:
+                replicated = jax.tree_util.tree_map(
+                    lambda _: NamedSharding(self._mesh, P()), self._sim_consts
+                )
+                self._batch_jit = jax.jit(
+                    batch_fn, in_shardings=(batch_shard, replicated)
+                )
         else:
             self._batch_jit = jax.jit(batch_fn)
 
