@@ -91,6 +91,17 @@ class BpDecoder:
             raise ValueError(
                 f"schedule must be parallel/serial/layered, got {schedule!r}"
             )
+        # the ldpc interface also accepts "received_vitype" (decode a noisy
+        # received word rather than a syndrome); silently decoding with
+        # syndrome semantics would corrupt such callers, so reject loudly
+        # until that mode is implemented (reference README.md:181-216 only
+        # exercises syndrome decoding)
+        if input_vector_type != "syndrome":
+            raise NotImplementedError(
+                f"input_vector_type={input_vector_type!r} is not supported; "
+                "only 'syndrome' decoding is implemented"
+            )
+        self.input_vector_type = input_vector_type
         self.m, self.n = self.graph.m, self.graph.n
         self.bp_method = normalize_bp_method(bp_method)
         self.max_iter = int(max_iter) if max_iter else self.graph.n

@@ -68,7 +68,12 @@ def _osd_cs_kernel(perm_ref, ppos_ref, synd_ref, skip_ref, h_ref,
       ppos_ref  [32, W, BS]    int32  perm position of column 32w+b
       synd_ref  [m_pad, BS]    int32  syndrome bits
       skip_ref  [8, BS]        int32  row 0: 1 = skip sample
-      h_ref     [W, m_pad, BS] int32  packed H (bitcast from uint32)
+      h_ref     [W, m_pad, 1]  int32  packed H (bitcast from uint32);
+                                      ONE copy, lane-broadcast in-kernel —
+                                      per-sample copies diverge only after
+                                      elimination starts, so materializing
+                                      [W, m_pad, B] in HBM (~54 MB per
+                                      4096-batch) would be pure waste
       sout_ref  [m_pad, BS]    int32  reduced syndrome
       pid_ref   [r, BS]        int32  pivot column ids
       prow_ref  [r, BS]        int32  pivot row ids
@@ -86,7 +91,7 @@ def _osd_cs_kernel(perm_ref, ppos_ref, synd_ref, skip_ref, h_ref,
     iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, BS), 0)
     valid_row = row_iota < m
 
-    h0 = h_ref[:, :, :]
+    h0 = jnp.broadcast_to(h_ref[:, :, :], (W, m_pad, BS))
     s0 = synd_ref[:, :]
     skiprow = skip_ref[:, :][0]  # [BS]
     rr0 = skiprow * r
@@ -307,7 +312,7 @@ def _osd_cs_impl(h_t, perm_t, ppos_t, synd_t, skip_t,
             pl.BlockSpec((32, W, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, m_pad, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, m_pad, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((m_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -351,10 +356,11 @@ def osd_cs_pallas(graph, perm, synd, *, osd_order: int, skip=None,
     B_in = perm.shape[0]
     m_pad = _round_up(m, 128)
 
-    # VMEM budget: in/out blocks are double-buffered by Mosaic; the while
-    # carries (h copy, buf, masks) live once per block
+    # VMEM budget: in/out blocks are double-buffered by Mosaic; H enters as
+    # a single shared [W, m_pad, 1] block, so only the carried per-sample
+    # copy scales with the block size
     bytes_per_sample = 4 * (
-        3 * W * m_pad          # h in (x2 buffers) + carried copy
+        W * m_pad              # carried eliminated copy of H
         + 2 * lamw * m_pad     # packed first-lam buffer
         + 10 * m_pad           # s, used, sout, sbest + slack
         + 3 * n                # perm, n_iota workspace
@@ -390,8 +396,7 @@ def osd_cs_pallas(graph, perm, synd, *, osd_order: int, skip=None,
 
     h_t = jnp.asarray(graph.H_packed).T  # [W, m]
     h_t = jnp.pad(h_t, ((0, 0), (0, m_pad - m)))
-    h_t = jax.lax.bitcast_convert_type(h_t, jnp.int32)
-    h_t = jnp.broadcast_to(h_t[:, :, None], (W, m_pad, B))
+    h_t = jax.lax.bitcast_convert_type(h_t, jnp.int32)[:, :, None]  # [W,m_pad,1]
     synd_t = jnp.pad(synd, ((0, 0), (0, m_pad - m))).T
     perm_t = perm.T
     skip_t = jnp.broadcast_to(skip[None, :], (8, B))
