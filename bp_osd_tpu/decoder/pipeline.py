@@ -62,6 +62,7 @@ def decode_pipeline(
     stage1_iters: int = 32,
     bp_block: int = 128,
     interpret: bool = False,
+    bp_msg_dtype: str = "float32",
 ) -> BpOsdBatch:
     """Full batched BP+OSD decode; jit-compatible (all shapes static).
 
@@ -82,7 +83,8 @@ def decode_pipeline(
         from ..ops.pallas_bp import bp_decode_pallas
 
         kw = dict(bp_method=bp_method, ms_scaling_factor=ms_scaling_factor,
-                  block=bp_block, interpret=interpret)
+                  block=bp_block, interpret=interpret,
+                  msg_dtype=bp_msg_dtype)
         s1 = min(int(stage1_iters), int(max_iter))
         hard, llr, conv, iters = bp_decode_pallas(
             graph, bp_operators, synd, llr0, max_iter=s1, **kw

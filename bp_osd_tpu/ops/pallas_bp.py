@@ -67,12 +67,17 @@ def build_bp_operators(graph):
 
 def _bp_kernel(synd_ref, llr0_ref, skip_ref, ev_ref, ht_ref, mask_ref,
                hard_ref, llr_ref, conv_ref, iters_ref,
-               *, method, max_iter, alpha_fixed, wr, m_pad, n_pad, BS):
+               *, method, max_iter, alpha_fixed, wr, m_pad, n_pad, BS,
+               msg_dtype=jnp.float32):
+    """``msg_dtype=bfloat16`` quantizes messages at each MXU selection
+    (the one-hot operators are 0/1 — exact in bf16; only the message
+    VALUES round) for ~3x matmul throughput; f32 is the reference-parity
+    default.  All accumulation stays f32 either way."""
     synd = synd_ref[:, :].astype(jnp.float32)  # [BS, m_pad]
     syn_sign = (1.0 - 2.0 * synd)[:, None, :]  # [BS, 1, m_pad]
     llr0 = llr0_ref[:, :]  # [BS, n_pad]
-    ev = ev_ref[:, :]  # [E, n_pad]
-    ht = ht_ref[:, :]  # [n_pad, m_pad]
+    ev = ev_ref[:, :]  # [E, n_pad] (msg_dtype)
+    ht = ht_ref[:, :]  # [n_pad, m_pad] (msg_dtype)
     mask = mask_ref[:, :][None]  # [1, wr, m_pad]
     maskb = mask > 0
 
@@ -80,14 +85,15 @@ def _bp_kernel(synd_ref, llr0_ref, skip_ref, ev_ref, ht_ref, mask_ref,
 
     def var_to_edge(x):  # [BS, n_pad] -> [BS, wr, m_pad]
         flat = jax.lax.dot_general(
-            x, ev, (((1,), (1,)), ((), ())),
+            x.astype(msg_dtype), ev, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BS, E]
         return flat.reshape(BS, wr, m_pad)
 
     def edge_to_var(msgs):  # [BS, wr, m_pad] -> [BS, n_pad]
         return jnp.dot(
-            msgs.reshape(BS, E), ev, preferred_element_type=jnp.float32
+            msgs.reshape(BS, E).astype(msg_dtype), ev,
+            preferred_element_type=jnp.float32,
         )
 
     v2c0 = var_to_edge(llr0)
@@ -138,7 +144,7 @@ def _bp_kernel(synd_ref, llr0_ref, skip_ref, ev_ref, ht_ref, mask_ref,
     # per-sample mismatch count is replicated across all n_pad lanes via an
     # MXU matmul against a ones matrix, so every flag keeps a plain tiled
     # layout and broadcasts against [BS, n_pad] tensors for free.
-    ones_mn = jnp.ones((m_pad, n_pad), jnp.float32)
+    ones_mn = jnp.ones((m_pad, n_pad), msg_dtype)
 
     def body(state):
         it, v2c, hard_out, llr_out, iters, conv = state
@@ -148,24 +154,39 @@ def _bp_kernel(synd_ref, llr0_ref, skip_ref, ev_ref, ht_ref, mask_ref,
         v2c_next = var_to_edge(total) - c2v
         hard = (total <= 0).astype(jnp.float32)
         synd_hat = jnp.mod(
-            jnp.dot(hard, ht, preferred_element_type=jnp.float32), 2.0
+            jnp.dot(hard.astype(msg_dtype), ht,
+                    preferred_element_type=jnp.float32),
+            2.0,
         )
-        neq = (synd_hat != synd).astype(jnp.float32)  # [BS, m_pad]
+        neq = (synd_hat != synd).astype(msg_dtype)  # [BS, m_pad]
         miss = jnp.dot(neq, ones_mn, preferred_element_type=jnp.float32)
         ok = (miss == 0.0).astype(jnp.float32)  # [BS, n_pad] replicated
-        live = conv == 0.0  # [BS, n_pad] bool
+        # valid: the loop runs in CHUNK-iteration bursts between exit
+        # checks, so the body can overrun max_iter — those steps must not
+        # touch outputs or convergence
+        valid = it <= max_iter
+        live = (conv == 0.0) & valid  # [BS, n_pad] bool
         hard_out = jnp.where(live, hard, hard_out)
         llr_out = jnp.where(live, total, llr_out)
         # iters := it while live; `it` advances by 1 per live step so this
         # running sum is identical and avoids a dynamic-scalar select
         iters = iters + live.astype(jnp.float32)
-        conv = jnp.maximum(conv, ok)
+        conv = jnp.maximum(conv, jnp.where(valid, ok, 0.0))
         return it + 1, v2c_next, hard_out, llr_out, iters, conv
 
     def cond(state):
         it = state[0]
         conv = state[5]
         return (it <= max_iter) & (jnp.min(conv) == 0.0)
+
+    # the exit test is a 65k-element cross-lane reduction plus a scalar
+    # sync; checking it every iteration costs more than the iterations it
+    # saves, so run CHUNK iterations per check (overrun steps are no-ops
+    # via the `valid` gate above)
+    CHUNK = 8
+
+    def chunk(state):
+        return jax.lax.fori_loop(0, CHUNK, lambda _, s: body(s), state)
 
     # carry inits derived from llr0 (not jnp.zeros): a splat constant gets
     # the replicated {*,*} layout, the body's updates are tiled {0,0}, and
@@ -181,7 +202,7 @@ def _bp_kernel(synd_ref, llr0_ref, skip_ref, ev_ref, ht_ref, mask_ref,
         zeros_bn,
         skip_ref[:, :].astype(jnp.float32),
     )
-    _, _, hard_out, llr_out, iters, conv = jax.lax.while_loop(cond, body, init)
+    _, _, hard_out, llr_out, iters, conv = jax.lax.while_loop(cond, chunk, init)
 
     hard_ref[:, :] = hard_out.astype(jnp.int32)
     llr_ref[:, :] = llr_out
@@ -192,16 +213,17 @@ def _bp_kernel(synd_ref, llr0_ref, skip_ref, ev_ref, ht_ref, mask_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("method", "max_iter", "alpha_fixed", "wr", "m_pad",
-                     "n_pad", "block", "interpret"),
+                     "n_pad", "block", "interpret", "msg_dtype"),
 )
 def _bp_pallas_impl(synd, llr0, skip, ev, ht, mask,
                     *, method, max_iter, alpha_fixed, wr, m_pad, n_pad, block,
-                    interpret=False):
+                    interpret=False, msg_dtype="float32"):
     B = synd.shape[0]
     grid = B // block
     kernel = functools.partial(
         _bp_kernel, method=method, max_iter=max_iter, alpha_fixed=alpha_fixed,
         wr=wr, m_pad=m_pad, n_pad=n_pad, BS=block,
+        msg_dtype=jnp.dtype(msg_dtype),
     )
     # plain pallas interpret (pure XLA lowering), NOT the Mosaic TPU
     # simulator: the simulator's io_callback buffer machinery deadlocks
@@ -245,6 +267,7 @@ def bp_decode_pallas(
     block: int = 128,
     interpret: bool = False,
     skip=None,
+    msg_dtype: str = "float32",
 ):
     """Fused-BP decode; returns ``(hard [B, n] uint8, llr [B, n] f32,
     converged [B] bool, iterations [B] int32)`` like ``bp_decode``.
@@ -283,16 +306,18 @@ def bp_decode_pallas(
             jnp.asarray(skip).astype(jnp.int32)[:, None], (B, n_pad)
         )
 
+    dt = jnp.dtype(msg_dtype)
     args = (
         synd_p, llr0_p, skip_p,
-        jnp.asarray(operators["edge_var"]),
-        jnp.asarray(operators["h_t"]),
+        jnp.asarray(operators["edge_var"]).astype(dt),
+        jnp.asarray(operators["h_t"]).astype(dt),
         jnp.asarray(operators["mask"]),
     )
     kwargs = dict(
         method=method, max_iter=int(max_iter),
         alpha_fixed=float(ms_scaling_factor),
         wr=wr, m_pad=m_pad, n_pad=n_pad, block=block, interpret=interpret,
+        msg_dtype=str(dt),
     )
     hard, llr, conv, iters = _bp_pallas_impl(*args, **kwargs)
 
