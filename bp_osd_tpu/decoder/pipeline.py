@@ -90,7 +90,10 @@ def decode_pipeline(
             graph, bp_operators, synd, llr0, max_iter=s1, **kw
         )
         if max_iter > s1:
-            # stage 2: failures first, whole converged blocks skip instantly
+            # stage 2: failures first, whole converged blocks skip
+            # instantly (also tried clustering failures by syndrome weight
+            # so converging blocks exit early — measured neutral on-chip:
+            # never-converging samples dominate stage-2 blocks at p=0.05)
             order = jnp.argsort(conv.astype(jnp.int32), stable=True)
             inv = jnp.argsort(order)
             h2, l2, c2, i2 = bp_decode_pallas(
