@@ -95,7 +95,11 @@ def decode_pipeline(
             # so converging blocks exit early — measured neutral on-chip:
             # never-converging samples dominate stage-2 blocks at p=0.05)
             order = jnp.argsort(conv.astype(jnp.int32), stable=True)
-            inv = jnp.argsort(order)
+            # inverse permutation by scatter: O(B) vs a second O(B log^2 B)
+            # sort network
+            inv = jnp.zeros((B,), jnp.int32).at[order].set(
+                jnp.arange(B, dtype=jnp.int32)
+            )
             h2, l2, c2, i2 = bp_decode_pallas(
                 graph, bp_operators, synd[order], llr0[order],
                 max_iter=int(max_iter), skip=conv[order], **kw
@@ -111,7 +115,9 @@ def decode_pipeline(
         bp = BPResult(hard=hard, llr=llr, converged=conv, iterations=iters)
 
         order = jnp.argsort(bp.converged.astype(jnp.int32), stable=True)
-        inv = jnp.argsort(order)
+        inv = jnp.zeros((B,), jnp.int32).at[order].set(
+            jnp.arange(B, dtype=jnp.int32)
+        )
         osd = osd_decode(
             graph, synd[order], bp.llr[order],
             osd_method=osd_method, osd_order=osd_order, consts=consts,

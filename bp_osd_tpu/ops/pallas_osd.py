@@ -132,9 +132,11 @@ def _osd_cs_kernel(perm_ref, ppos_ref, synd_ref, skip_ref, h_ref,
         pivw = pivw | jnp.where(word_iota3 == w, pivbit, 0)
 
         # record the first `lam` T columns: every visited column that did
-        # not produce a pivot is T (including post-rank-complete columns)
+        # not produce a pivot is T (including post-rank-complete columns).
+        # The `t < n` guard keeps CHUNK-overrun steps (which read column 0)
+        # from being recorded as T columns when CHUNK does not divide n.
         is_t = ~has
-        rec = is_t & (tt < lam) & (skiprow == 0)
+        rec = is_t & (tt < lam) & (skiprow == 0) & (t < n)
         hit_t = (lam_iota == tt[None, :]) & rec[None, :]
         tcid = jnp.where(hit_t, col[None, :], tcid)
         tt = tt + rec.astype(jnp.int32)
@@ -176,20 +178,22 @@ def _osd_cs_kernel(perm_ref, ppos_ref, synd_ref, skip_ref, h_ref,
     # indexing inside the Mosaic loop)
     buf0 = tuple(jnp.zeros((m_pad, BS), jnp.int32) for _ in range(lamw))
 
-    def w1_word(wi, hw, pivw_w, ppos_w, carry):
-        """Sweep the 32 columns of static word ``wi``."""
-
-        def bit_step(bit, c2):
-            best_key, bt1, bt2, buf = c2
+    # Every bit position is a compile-time constant: the shifts below are
+    # static, and the whole sweep is straight-line vector code (the
+    # previous per-bit while_loop paid ~416 sequential Mosaic loop
+    # iterations per block — loop overhead dominated the actual work).
+    # ``lax.cond(live, ...)`` keeps all-skip blocks on the cheap branch.
+    def w1_all(carry):
+        best_key, bt1, bt2, buf = carry
+        buf = list(buf)
+        for c in range(n):
+            wi, bit = c >> 5, c & 31
+            hw = h[wi]
             colbits = (hw >> bit) & 1  # [m_pad, BS]
-            c = 32 * wi + bit
-            is_piv = (pivw_w >> bit) & 1  # [BS]
+            is_piv = (pivw[wi][0] >> bit) & 1  # [BS]
             wgt = jnp.sum(colbits ^ s, axis=0) + 1
-            ppos_c = jnp.sum(
-                jnp.where(iota32 == bit, ppos_w, 0), axis=0
-            )  # [BS]
+            ppos_c = ppos_ref[bit, wi, :]  # [BS] static read
             key = wgt * BASE + 1 + ppos_c + _BIGKEY * is_piv
-            key = jnp.where(c < n, key, _BIGKEY)
             better = key < best_key
             best_key = jnp.where(better, key, best_key)
             bt1 = jnp.where(better, c, bt1)
@@ -201,32 +205,22 @@ def _osd_cs_kernel(perm_ref, ppos_ref, synd_ref, skip_ref, h_ref,
             slot = jnp.sum(
                 jnp.where(match, lam_iota, 0), axis=0
             )  # [BS], 0 when absent
-            new = []
             for lw in range(lamw):
                 in_lw = (found & ((slot >> 5) == lw)).astype(jnp.int32)
                 shift = (slot & 31)[None, :]
-                new.append(
-                    buf[lw] | ((colbits * in_lw[None, :]) << shift)
-                )
-            return best_key, bt1, bt2, tuple(new)
-
-        def cond(st):
-            return (st[0] < 32) & live
-
-        def body(st):
-            bit, c2 = st[0], st[1:]
-            c2 = bit_step(bit, tuple(c2))
-            return (bit + 1,) + c2
-
-        out = jax.lax.while_loop(cond, body, (jnp.int32(0),) + carry)
-        return out[1:]
+                buf[lw] = buf[lw] | ((colbits * in_lw[None, :]) << shift)
+        return best_key, bt1, bt2, tuple(buf)
 
     carry = (best_key0, bt1_0, bt2_0, buf0)
-    for wi in range(W):
-        carry = w1_word(wi, h[wi], pivw[wi][0], ppos_ref[:, wi, :], carry)
-    best_key, bt1, bt2, buf = carry
+    best_key, bt1, bt2, buf = jax.lax.cond(
+        live, w1_all, lambda c: c, carry
+    )
 
     # ---- phase 3: weight-2 sweep over pairs of the first lam T columns --
+    # Outer loop over ``a`` stays a (live-gated) while_loop; the inner
+    # ``b`` loop is statically unrolled so every unpack shift is a
+    # compile-time constant and the ~lam^2/2 sequential Mosaic loop
+    # iterations per block (pure loop overhead) collapse to lam-1.
     if lam >= 2:
         def unpack(idx):
             """Bits of T-slot ``idx`` (traced scalar) from the packed buf."""
@@ -242,23 +236,16 @@ def _osd_cs_kernel(perm_ref, ppos_ref, synd_ref, skip_ref, h_ref,
             a, best_key, bt1, bt2 = st
             xa = s ^ unpack(a)
             t1a = tcid_at(a)
-
-            def pair_inner(st2):
-                b, best_key, bt1, bt2 = st2
-                wgt = jnp.sum(xa ^ unpack(b), axis=0) + 2
+            for b in range(1, lam):
+                colb = (buf[b >> 5] >> (b & 31)) & 1  # static shift
+                wgt = jnp.sum(xa ^ colb, axis=0) + 2
                 rank = jnp.int32(n + 1) + a * lam + b
-                key = wgt * BASE + rank
+                # pairs require b > a: demote b <= a out of contention
+                key = wgt * BASE + rank + _BIGKEY * (a >= b)
                 better = key < best_key
                 best_key = jnp.where(better, key, best_key)
                 bt1 = jnp.where(better, t1a, bt1)
-                bt2 = jnp.where(better, tcid_at(b), bt2)
-                return b + 1, best_key, bt1, bt2
-
-            _, best_key, bt1, bt2 = jax.lax.while_loop(
-                lambda st2: st2[0] < lam,
-                pair_inner,
-                (a + 1, best_key, bt1, bt2),
-            )
+                bt2 = jnp.where(better, tcid[b], bt2)
             return a + 1, best_key, bt1, bt2
 
         _, best_key, bt1, bt2 = jax.lax.while_loop(
@@ -387,8 +374,14 @@ def osd_cs_pallas(graph, perm, synd, *, osd_order: int, skip=None,
             [synd, jnp.zeros((B - B_in, synd.shape[1]), jnp.int32)], axis=0)
         skip = jnp.concatenate([skip, jnp.ones((B - B_in,), jnp.int32)])
 
-    # inverse permutation: ppos[b, c] = position of column c in perm[b]
-    ppos = jnp.argsort(perm, axis=1).astype(jnp.int32)  # [B, n]
+    # inverse permutation by scatter: ppos[b, c] = position of column c in
+    # perm[b] (perm rows are permutations, so the scatter is collision-free
+    # and O(B*n) — cheaper than a second row-wise sort network)
+    ppos = (
+        jnp.zeros((B, n), jnp.int32)
+        .at[jnp.arange(B, dtype=jnp.int32)[:, None], perm]
+        .set(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (B, n)))
+    )
     ppos_p = jnp.pad(ppos, ((0, 0), (0, 32 * W - n)))
     ppos_t = jnp.transpose(
         ppos_p.reshape(B, W, 32), (2, 1, 0)
