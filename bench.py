@@ -87,7 +87,9 @@ def main():
 
     qcode = hgp(mkmn_16_4_6())
     graph = TannerGraph(qcode.hx.toarray())
+    print("bench: connecting to device...", file=sys.stderr, flush=True)
     on_tpu = jax.devices()[0].platform != "cpu"
+    print("bench: device ready", file=sys.stderr, flush=True)
     backend = "pallas" if on_tpu else "xla"
 
     # ALL decode-time constants live on device ONCE — shipping numpy

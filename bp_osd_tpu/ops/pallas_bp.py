@@ -103,22 +103,16 @@ def _bp_kernel(synd_ref, llr0_ref, skip_ref, ev_ref, ht_ref, mask_ref,
 
     def check_update(v2c, it):
         if method == "minimum_sum":
-            # Integer sign/magnitude formulation: for finite f32, comparing
-            # |x| as raw abs-bits orders identically to float compare, so
-            # the whole exclusive-min machinery runs as int32 VPU ops with
-            # BIT-IDENTICAL results (the `magb != 0` term reproduces
-            # `v2c < 0` exactly at -0.0).  ~1.5x fewer edge-space passes
-            # than the float version this replaces.
-            bits = jax.lax.bitcast_convert_type(v2c, jnp.int32)
-            magb = bits & jnp.int32(0x7FFFFFFF)
-            neg = (
-                jax.lax.shift_right_logical(bits, 31)
-                & (magb != 0).astype(jnp.int32)
-                & mask_i
-            )
+            # NOTE: an integer sign/magnitude variant (bitcast + abs-bit
+            # compares) was tried here — interpret-mode exact, but on real
+            # TPU it shifted the converged fraction by -6.6 points (raw-bit
+            # tests see values the float datapath flushes/normalizes
+            # differently), so the float formulation stays.
+            syn_sign = (1.0 - 2.0 * synd)[:, None, :]  # [BS, 1, m_pad]
+            neg = ((v2c < 0) & maskb).astype(jnp.float32)
             neg_total = jnp.sum(neg, axis=1, keepdims=True)
-            excl_par = (neg_total - neg) & 1  # [BS, wr, m_pad] 0/1
-            mag = magb | big_i
+            excl_sgn = 1.0 - 2.0 * jnp.mod(neg_total - neg, 2.0)
+            mag = jnp.where(maskb, jnp.abs(v2c), _BIG)
             min1 = jnp.min(mag, axis=1, keepdims=True)
             # first-minimum mask without argmin/cumsum (neither lowers in
             # Mosaic): min-reduce the slot index over ties
@@ -127,19 +121,13 @@ def _bp_kernel(synd_ref, llr0_ref, skip_ref, ev_ref, ht_ref, mask_ref,
                 jnp.where(mag == min1, slot, wr), axis=1, keepdims=True
             )
             is_min = slot == idx_at_min
-            min2 = jnp.min(
-                jnp.where(is_min, jnp.int32(0x7F000000), mag),
-                axis=1, keepdims=True,
-            )
+            min2 = jnp.min(jnp.where(is_min, _BIG, mag), axis=1, keepdims=True)
             excl_min = jnp.where(is_min, min2, min1)
-            # sign bit = parity of other negatives XOR syndrome bit
-            sgn = (excl_par ^ syn_bit) << 31
-            excl = jax.lax.bitcast_convert_type(excl_min | sgn, jnp.float32)
             if alpha_fixed == 0.0:
                 alpha = 1.0 - jnp.exp2(-it.astype(jnp.float32))
             else:
                 alpha = alpha_fixed
-            return alpha * excl
+            return syn_sign * excl_sgn * alpha * excl_min
         else:  # product_sum
             syn_sign = (1.0 - 2.0 * synd)[:, None, :]  # [BS, 1, m_pad]
             t = jnp.tanh(0.5 * v2c)

@@ -354,7 +354,10 @@ def osd_cs_pallas(graph, perm, synd, *, osd_order: int, skip=None,
         + 32 * W               # ppos
         + 4 * r + 2 * lam_pad
     )
-    budget = 12 * 1024 * 1024
+    # measured on v5e: the straight-line weight-1 sweep + lax.cond carries
+    # push peak scoped-vmem to ~20 MB at block=256 (limit 16 MB); 9 MB here
+    # steers the halving loop to block=128 for flagship-sized codes
+    budget = 9 * 1024 * 1024
     while block > 128 and block * bytes_per_sample > budget:
         block //= 2
     block = min(block, _round_up(B_in, 128))
