@@ -86,14 +86,21 @@ def decode_pipeline(
                   block=bp_block, interpret=interpret,
                   msg_dtype=bp_msg_dtype)
         s1 = min(int(stage1_iters), int(max_iter))
-        hard, llr, conv, iters = bp_decode_pallas(
-            graph, bp_operators, synd, llr0, max_iter=s1, **kw
+        two_stage = max_iter > s1
+        out1 = bp_decode_pallas(
+            graph, bp_operators, synd, llr0, max_iter=s1,
+            emit_state=two_stage, **kw
         )
-        if max_iter > s1:
-            # stage 2: failures first, whole converged blocks skip
-            # instantly (also tried clustering failures by syndrome weight
-            # so converging blocks exit early — measured neutral on-chip:
-            # never-converging samples dominate stage-2 blocks at p=0.05)
+        hard, llr, conv, iters = out1[:4]
+        if two_stage:
+            # stage 2: RESUME the stage-1 message state at iteration s1+1
+            # on the failures only, clustered failures-first so whole
+            # converged blocks skip instantly.  BP is deterministic and the
+            # adaptive scale depends only on the global iteration number,
+            # so the resumed trajectory is identical to a straight
+            # max_iter run — at zero re-decode cost (the v2c state makes
+            # one HBM round trip instead).
+            v2c = out1[4]
             order = jnp.argsort(conv.astype(jnp.int32), stable=True)
             # inverse permutation by scatter: O(B) vs a second O(B log^2 B)
             # sort network
@@ -102,9 +109,10 @@ def decode_pipeline(
             )
             h2, l2, c2, i2 = bp_decode_pallas(
                 graph, bp_operators, synd[order], llr0[order],
-                max_iter=int(max_iter), skip=conv[order], **kw
+                max_iter=int(max_iter), skip=conv[order],
+                v2c_init=v2c[order], it0=s1, **kw
             )
-            # every stage-1 failure re-ran to the full max_iter: take its
+            # every stage-1 failure resumed to the full max_iter: take its
             # stage-2 state wholesale (converged or not) so hard/llr/iters
             # are identical to a straight max_iter run
             upd = ~conv

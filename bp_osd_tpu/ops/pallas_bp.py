@@ -1,21 +1,40 @@
 """Pallas TPU kernel: fused batched min-sum/product-sum BP decode loop.
 
 The XLA BP path (``decoder/bp.py``) round-trips messages through HBM every
-iteration.  This kernel keeps the whole message state ``[BS, wr, m_pad]``
-resident in VMEM for a block of samples and runs the entire iteration loop
-in one program: per iteration it does two small MXU matmuls (edge<->variable
-one-hot operators) and a handful of VPU passes, with HBM traffic only at
-entry/exit.
+iteration.  This kernel keeps the whole message state resident in VMEM for a
+block of samples and runs the entire iteration loop in one program.
 
-Layout: check rows on the lane axis (``m_pad`` = multiple of 128), message
-slots on the sublane axis (``wr``).  The flat edge index is slot-major
-(``e = j * m_pad + i``), matching the one-hot operators built in
-:func:`build_bp_operators`.
+Round-3 redesign (flat 2D layout + grouped operators):
+
+- **Every tensor in the kernel is 2D** with the sample batch on sublanes and
+  checks/variables/edges on lanes.  The round-2 kernel carried messages as
+  ``[BS, wr, m_pad]`` and reshaped to ``[BS, wr*m_pad]`` around each matmul;
+  that reshape moves the batch axis between the untiled and sublane
+  positions — a full Mosaic relayout of the message state twice per
+  iteration.  Here messages stay flat ``[BS, E]`` (edge ``e = slot*m_pad +
+  check``) and the check-node update reads static 256-lane slices per slot,
+  so no relayout ever happens.
+- **Grouped (Kronecker-aware) routing operators**: a hypergraph-product
+  check matrix is ``hx = [h1 (x) I | I (x) h2^T]`` (reference
+  ``src/bposd/hgp.py:48-50``) — every check's incident variables split into
+  two column sectors.  ``build_bp_operators`` partitions the columns at
+  128-aligned boundaries and emits one one-hot operator per group, so the
+  var<->edge matmuls contract only over each sector's variables instead of
+  the whole padded column space.  For the [[400,16,6]] flagship this halves
+  the MXU tile count per iteration (contract 256+256 lanes over 4+3 slots
+  instead of 512 lanes over 7 slots).
+- **Resumable message state**: ``emit_state=True`` returns the v2c message
+  carry after exactly ``max_iter`` iterations; ``v2c_init``/``it0`` restart
+  from it.  The staged pipeline (``decoder/pipeline.py``) uses this to
+  continue stage-1 failures at iteration ``stage1_iters + 1`` instead of
+  re-decoding from scratch — the trajectory is identical to a straight
+  ``max_iter`` run because BP is deterministic and the adaptive min-sum
+  scale ``alpha_t = 1 - 2^-t`` (reference ``README.md:184``) depends only
+  on the global iteration number, which resumes exactly.
 
 Semantics match ``decoder.bp.bp_decode`` (parallel schedule, per-sample
-freeze at first convergence, adaptive min-sum scaling for
-``ms_scaling_factor == 0``); small float differences are possible because
-variable-node sums accumulate in a different order (matmul vs gather-sum).
+freeze at first convergence); small float differences are possible because
+variable-node sums accumulate per column group (matmul partial order).
 """
 
 from __future__ import annotations
@@ -40,146 +59,237 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def _group_plan(graph):
+    """Choose 128-aligned column-group boundaries minimizing MXU tiles.
+
+    Returns a list of ``(col_start, col_end)`` covering ``[0, n)``.  The
+    cost of a plan is ``sum_g ceil(ngpad/128) * wr_g`` — proportional to
+    K-tiles x N-tiles of the routing matmuls.  Only splits that beat the
+    single-group baseline are taken (generic codes fall back to G=1).
+    """
+    m, n = graph.m, graph.n
+    n_pad = _round_up(n, 128)
+
+    def group_wr(c0, c1):
+        cnt = np.count_nonzero((graph.H[:, c0:c1] != 0), axis=1)
+        return int(cnt.max()) if cnt.size else 0
+
+    def cost(bounds):
+        t = 0
+        for c0, c1 in bounds:
+            ngpad = _round_up(c1 - c0, 128)
+            t += (ngpad // 128) * group_wr(c0, c1)
+        return t
+
+    best = [(0, n)]
+    best_cost = cost(best)
+    for c in range(128, n_pad - 127, 128):
+        if c >= n:
+            break
+        plan = [(0, c), (c, n)]
+        pc = cost(plan)
+        if pc < best_cost:
+            best, best_cost = plan, pc
+    return best
+
+
 def build_bp_operators(graph):
     """Host-built dense operators for the fused BP kernel.
 
-    Returns dict of np arrays:
-      edge_var [wr*m_pad, n_pad] f32 one-hot: edge e -> its variable
-      h_t      [n_pad, m_pad]    f32: H^T (variable -> check incidence)
-      mask     [wr, m_pad]       f32: 1 on real (check, slot) pairs
+    Returns a dict of np arrays (shapes carry all static metadata):
+      ev{g}   [ngpad_g, wr_g*m_pad] f32 one-hot var->edge operator of
+              column group g (groups tile ``[0, n_pad)`` in order; interior
+              boundaries are 128-aligned so lane index == column index)
+      h_t     [n_pad, m_pad]        f32: H^T (variable -> check incidence)
+      mask    [wr_flat, m_pad]      f32: 1 on real (slot, check) pairs,
+              slots concatenated per group
     """
-    m, n, wr = graph.m, graph.n, graph.wr
+    m, n = graph.m, graph.n
     m_pad = _round_up(m, 128)
     n_pad = _round_up(n, 128)
+    groups = _group_plan(graph)
 
-    edge_var = np.zeros((wr * m_pad, n_pad), dtype=np.float32)
-    rows, slots = np.nonzero(graph.chk_mask)
-    cols = graph.chk_var[rows, slots]
-    edge_var[slots * m_pad + rows, cols] = 1.0
+    ops = {}
+    masks = []
+    for g, (c0, c1) in enumerate(groups):
+        ngpad = _round_up(c1 - c0, 128)
+        sub = graph.H[:, c0:c1] != 0
+        rows, cols = np.nonzero(sub)  # row-major: per-row cols ascending
+        counts = np.bincount(rows, minlength=m)
+        wr_g = int(counts.max()) if rows.size else 1
+        slot = (
+            np.concatenate([np.arange(c) for c in counts])
+            if rows.size
+            else np.zeros(0, int)
+        )
+        ev = np.zeros((ngpad, wr_g * m_pad), dtype=np.float32)
+        ev[cols, slot * m_pad + rows] = 1.0
+        ops[f"ev{g}"] = ev
+        mk = np.zeros((wr_g, m_pad), dtype=np.float32)
+        mk[slot, rows] = 1.0
+        masks.append(mk)
 
     h_t = np.zeros((n_pad, m_pad), dtype=np.float32)
     h_t[:n, :m] = graph.H.T
+    ops["h_t"] = h_t
+    ops["mask"] = np.concatenate(masks, axis=0)
+    return ops
 
-    mask = np.zeros((wr, m_pad), dtype=np.float32)
-    mask[slots, rows] = 1.0
-    return {"edge_var": edge_var, "h_t": h_t, "mask": mask}
 
+def _bp_kernel(*refs, method, max_iter, it0, alpha_fixed, widths, slots,
+               m_pad, n_pad, BS, resume, emit_state, msg_dtype=jnp.float32):
+    """Flat-layout fused BP loop; see module docstring for the design.
 
-def _bp_kernel(synd_ref, llr0_ref, skip_ref, ev_ref, ht_ref, mask_ref,
-               hard_ref, llr_ref, conv_ref, iters_ref,
-               *, method, max_iter, alpha_fixed, wr, m_pad, n_pad, BS,
-               msg_dtype=jnp.float32):
-    """``msg_dtype=bfloat16`` quantizes messages at each MXU selection
-    (the one-hot operators are 0/1 — exact in bf16; only the message
-    VALUES round) for ~3x matmul throughput; f32 is the reference-parity
-    default.  All accumulation stays f32 either way."""
-    synd = synd_ref[:, :].astype(jnp.float32)  # [BS, m_pad]
-    syn_bit = synd_ref[:, :][:, None, :]  # [BS, 1, m_pad] int 0/1
-    llr0 = llr0_ref[:, :]  # [BS, n_pad]
-    ev = ev_ref[:, :]  # [E, n_pad] (msg_dtype)
-    ht = ht_ref[:, :]  # [n_pad, m_pad] (msg_dtype)
-    mask = mask_ref[:, :][None]  # [1, wr, m_pad]
-    maskb = mask > 0
-    mask_i = maskb.astype(jnp.int32)
-    # masked slots get +inf-class magnitude bits via OR (cheaper than select)
-    big_i = jnp.where(maskb, 0, jnp.int32(0x7F000000))
+    refs = (synd, llr0, skip, [v2c_in], ht, mask, ev0.., hard, llr, conv,
+    iters, [v2c_out]).  ``widths``/``slots`` are per-group static tuples
+    (padded lane width, slot count).
+    """
+    G = len(widths)
+    i = 0
+    synd_ref = refs[i]; i += 1
+    llr0_ref = refs[i]; i += 1
+    skip_ref = refs[i]; i += 1
+    v2c_in_ref = None
+    if resume:
+        v2c_in_ref = refs[i]; i += 1
+    ht_ref = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
+    ev_refs = [refs[i + g] for g in range(G)]
+    i += G
+    hard_ref = refs[i]; i += 1
+    llr_ref = refs[i]; i += 1
+    conv_ref = refs[i]; i += 1
+    iters_ref = refs[i]; i += 1
+    v2c_out_ref = refs[i] if emit_state else None
 
-    E = wr * m_pad
+    wrf = sum(slots)
+    E = wrf * m_pad
+    synd_i = synd_ref[:, :]  # [BS, m_pad] int32 0/1
+    syn_f = synd_i.astype(jnp.float32)
+    syn_sign = 1.0 - 2.0 * syn_f
+    llr0 = llr0_ref[:, :]
+    ht = ht_ref[:, :]
+    evs = [r[:, :] for r in ev_refs]
+    masks = [mask_ref[s : s + 1, :] > 0 for s in range(wrf)]  # [1, m_pad]
 
-    def var_to_edge(x):  # [BS, n_pad] -> [BS, wr, m_pad]
-        flat = jax.lax.dot_general(
-            x.astype(msg_dtype), ev, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BS, E]
-        return flat.reshape(BS, wr, m_pad)
+    # static per-group lane windows (columns) and edge windows
+    col_off, edge_off = [], []
+    c = e = 0
+    for g in range(G):
+        col_off.append(c)
+        edge_off.append(e)
+        c += widths[g]
+        e += slots[g] * m_pad
 
-    def edge_to_var(msgs):  # [BS, wr, m_pad] -> [BS, n_pad]
-        return jnp.dot(
-            msgs.reshape(BS, E).astype(msg_dtype), ev,
-            preferred_element_type=jnp.float32,
-        )
+    def var_to_edge(x):  # [BS, n_pad] -> [BS, E]
+        parts = []
+        for g in range(G):
+            xg = x[:, col_off[g] : col_off[g] + widths[g]]
+            parts.append(
+                jax.lax.dot_general(
+                    xg.astype(msg_dtype), evs[g], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        return jnp.concatenate(parts, axis=1) if G > 1 else parts[0]
 
-    v2c0 = var_to_edge(llr0)
+    def edge_to_var(msgs):  # [BS, E] -> [BS, n_pad]
+        outs = []
+        for g in range(G):
+            mg = msgs[:, edge_off[g] : edge_off[g] + slots[g] * m_pad]
+            outs.append(
+                jax.lax.dot_general(
+                    mg.astype(msg_dtype), evs[g], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        return jnp.concatenate(outs, axis=1) if G > 1 else outs[0]
 
     def check_update(v2c, it):
+        sl = [v2c[:, s * m_pad : (s + 1) * m_pad] for s in range(wrf)]
         if method == "minimum_sum":
-            # NOTE: an integer sign/magnitude variant (bitcast + abs-bit
-            # compares) was tried here — interpret-mode exact, but on real
-            # TPU it shifted the converged fraction by -6.6 points (raw-bit
-            # tests see values the float datapath flushes/normalizes
-            # differently), so the float formulation stays.
-            syn_sign = (1.0 - 2.0 * synd)[:, None, :]  # [BS, 1, m_pad]
-            neg = ((v2c < 0) & maskb).astype(jnp.float32)
-            neg_total = jnp.sum(neg, axis=1, keepdims=True)
-            excl_sgn = 1.0 - 2.0 * jnp.mod(neg_total - neg, 2.0)
-            mag = jnp.where(maskb, jnp.abs(v2c), _BIG)
-            min1 = jnp.min(mag, axis=1, keepdims=True)
-            # first-minimum mask without argmin/cumsum (neither lowers in
-            # Mosaic): min-reduce the slot index over ties
-            slot = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
-            idx_at_min = jnp.min(
-                jnp.where(mag == min1, slot, wr), axis=1, keepdims=True
-            )
-            is_min = slot == idx_at_min
-            min2 = jnp.min(jnp.where(is_min, _BIG, mag), axis=1, keepdims=True)
-            excl_min = jnp.where(is_min, min2, min1)
+            negs = [((sl[s] < 0) & masks[s]).astype(jnp.int32)
+                    for s in range(wrf)]
+            tot = negs[0]
+            for s in range(1, wrf):
+                tot = tot + negs[s]
+            # exclusive sign: syndrome parity XOR total-neg parity XOR own
+            sp = synd_i ^ (tot & 1)
+            mags = [jnp.where(masks[s], jnp.abs(sl[s]), _BIG)
+                    for s in range(wrf)]
+            min1 = mags[0]
+            for s in range(1, wrf):
+                min1 = jnp.minimum(min1, mags[s])
+            # first-minimum mask: sequential scan reproduces the reference
+            # tie order (lowest slot wins)
+            hits = []
+            seen = None
+            for s in range(wrf):
+                h = mags[s] == min1 if seen is None else (mags[s] == min1) & ~seen
+                hits.append(h)
+                seen = h if seen is None else seen | h
+            min2 = None
+            for s in range(wrf):
+                v = jnp.where(hits[s], _BIG, mags[s])
+                min2 = v if min2 is None else jnp.minimum(min2, v)
             if alpha_fixed == 0.0:
                 alpha = 1.0 - jnp.exp2(-it.astype(jnp.float32))
             else:
                 alpha = alpha_fixed
-            return syn_sign * excl_sgn * alpha * excl_min
+            parts = []
+            for s in range(wrf):
+                sgn = (1 - 2 * (sp ^ negs[s])).astype(jnp.float32)
+                excl = jnp.where(hits[s], min2, min1) * alpha
+                parts.append(jnp.where(masks[s], sgn * excl, 0.0))
+            return jnp.concatenate(parts, axis=1) if wrf > 1 else parts[0]
         else:  # product_sum
-            syn_sign = (1.0 - 2.0 * synd)[:, None, :]  # [BS, 1, m_pad]
-            t = jnp.tanh(0.5 * v2c)
-            t = jnp.where(maskb, t, 1.0)
-            # exclusive products unrolled over the (small, static) slot
-            # axis — cumprod/flip do not lower in Mosaic
-            ones = jnp.ones_like(t[:, :1, :])
+            ts = [jnp.where(masks[s], jnp.tanh(0.5 * sl[s]), 1.0)
+                  for s in range(wrf)]
+            ones = jnp.ones_like(ts[0])
             fwd = [ones]
-            for j in range(wr - 1):
-                fwd.append(fwd[-1] * t[:, j : j + 1, :])
-            bwd = [ones]
-            for j in range(wr - 1, 0, -1):
-                bwd.insert(0, bwd[0] * t[:, j : j + 1, :])
-            excl = jnp.concatenate(
-                [fwd[j] * bwd[j] for j in range(wr)], axis=1
-            )
-            excl = jnp.clip(syn_sign * excl, -_TANH_CLIP, _TANH_CLIP)
-            # 2*atanh(x) = log((1+x)/(1-x)); atanh has no Mosaic lowering
-            return jnp.log((1.0 + excl) / (1.0 - excl))
+            for s in range(wrf - 1):
+                fwd.append(fwd[-1] * ts[s])
+            bwd = [ones] * wrf
+            for s in range(wrf - 2, -1, -1):
+                bwd[s] = bwd[s + 1] * ts[s + 1]
+            parts = []
+            for s in range(wrf):
+                excl = jnp.clip(
+                    syn_sign * fwd[s] * bwd[s], -_TANH_CLIP, _TANH_CLIP
+                )
+                # 2*atanh(x) = log((1+x)/(1-x)); atanh has no Mosaic lowering
+                val = jnp.log((1.0 + excl) / (1.0 - excl))
+                parts.append(jnp.where(masks[s], val, 0.0))
+            return jnp.concatenate(parts, axis=1) if wrf > 1 else parts[0]
 
-    # conv/iters are carried at FULL lane width [BS, n_pad]: Mosaic cannot
-    # round-trip width-1 loop carries whose update mixes a keepdims-reduce
-    # layout ({0,*}) with the replicated entry layout ({*,*}).  The
-    # per-sample mismatch count is replicated across all n_pad lanes via an
-    # MXU matmul against a ones matrix, so every flag keeps a plain tiled
-    # layout and broadcasts against [BS, n_pad] tensors for free.
-    ones_mn = jnp.ones((m_pad, n_pad), msg_dtype)
+    REP = n_pad // 128
+    ones_m128 = jnp.ones((m_pad, 128), msg_dtype)
 
     def body(state):
         it, v2c, hard_out, llr_out, iters, conv = state
         c2v = check_update(v2c, it)
-        c2v = jnp.where(maskb, c2v, 0.0)
         total = llr0 + edge_to_var(c2v)
         v2c_next = var_to_edge(total) - c2v
         hard = (total <= 0).astype(jnp.float32)
-        synd_hat = jnp.mod(
+        parity = jnp.mod(
             jnp.dot(hard.astype(msg_dtype), ht,
                     preferred_element_type=jnp.float32),
             2.0,
         )
-        neq = (synd_hat != synd).astype(msg_dtype)  # [BS, m_pad]
-        miss = jnp.dot(neq, ones_mn, preferred_element_type=jnp.float32)
-        ok = (miss == 0.0).astype(jnp.float32)  # [BS, n_pad] replicated
+        neq = (parity != syn_f).astype(msg_dtype)  # [BS, m_pad]
+        miss = jnp.dot(neq, ones_m128, preferred_element_type=jnp.float32)
+        ok = (miss == 0.0).astype(jnp.float32)  # [BS, 128]
         # valid: the loop runs in CHUNK-iteration bursts between exit
         # checks, so the body can overrun max_iter — those steps must not
         # touch outputs or convergence
         valid = it <= max_iter
-        live = (conv == 0.0) & valid  # [BS, n_pad] bool
-        hard_out = jnp.where(live, hard, hard_out)
-        llr_out = jnp.where(live, total, llr_out)
+        live = (conv == 0.0) & valid  # [BS, 128] bool
+        liveN = jnp.concatenate([live] * REP, axis=1) if REP > 1 else live
+        hard_out = jnp.where(liveN, hard, hard_out)
+        llr_out = jnp.where(liveN, total, llr_out)
         # iters := it while live; `it` advances by 1 per live step so this
-        # running sum is identical and avoids a dynamic-scalar select
+        # running sum (from the it0 base) is identical and avoids a
+        # dynamic-scalar select
         iters = iters + live.astype(jnp.float32)
         conv = jnp.maximum(conv, jnp.where(valid, ok, 0.0))
         return it + 1, v2c_next, hard_out, llr_out, iters, conv
@@ -189,55 +299,101 @@ def _bp_kernel(synd_ref, llr0_ref, skip_ref, ev_ref, ht_ref, mask_ref,
         conv = state[5]
         return (it <= max_iter) & (jnp.min(conv) == 0.0)
 
-    # the exit test is a 65k-element cross-lane reduction plus a scalar
-    # sync; checking it every iteration costs more than the iterations it
-    # saves, so run CHUNK iterations per check (overrun steps are no-ops
-    # via the `valid` gate above).  Long runs (the staged max_iter=N
-    # re-decode, whose blocks almost always contain a never-converging
-    # sample) check 4x less often — the early exit there only matters for
-    # all-skip blocks, which still leave before the first real iteration.
-    CHUNK = 8 if max_iter <= 64 else 32
+    # The exit test is a cross-lane reduction plus a scalar sync; checking
+    # it every iteration costs more than the iterations it saves, so run
+    # CHUNK iterations per check (overrun steps are no-ops via the `valid`
+    # gate above).  When the v2c state is emitted it must correspond to
+    # EXACTLY max_iter updates, so CHUNK must divide the iteration count.
+    span = max_iter - it0
+    if emit_state:
+        CHUNK = next(c for c in (8, 4, 2, 1) if span % c == 0)
+    else:
+        CHUNK = 8 if span <= 64 else 32
 
     def chunk(state):
         return jax.lax.fori_loop(0, CHUNK, lambda _, s: body(s), state)
 
-    # carry inits derived from llr0 (not jnp.zeros): a splat constant gets
-    # the replicated {*,*} layout, the body's updates are tiled {0,0}, and
-    # Mosaic cannot relayout tiled -> replicated at the loop back-edge.
-    # conv starts at the (lane-replicated) skip flags: skipped samples are
+    # carry inits derived from real inputs (not jnp.zeros): a splat
+    # constant gets the replicated {*,*} layout, the body's updates are
+    # tiled {0,0}, and Mosaic cannot relayout tiled -> replicated at the
+    # loop back-edge.  conv starts at the skip flags: skipped samples are
     # born "converged", so an all-skip block exits before iteration one.
-    zeros_bn = llr0 * 0.0
+    skipf = skip_ref[:, :].astype(jnp.float32)  # [BS, 128]
+    v2c0 = v2c_in_ref[:, :] if resume else var_to_edge(llr0)
     init = (
-        jnp.int32(1),
+        jnp.int32(it0 + 1),
         v2c0,
-        zeros_bn,
+        llr0 * 0.0,
         llr0,
-        zeros_bn,
-        skip_ref[:, :].astype(jnp.float32),
+        skipf * 0.0 + float(it0),
+        skipf,
     )
-    _, _, hard_out, llr_out, iters, conv = jax.lax.while_loop(cond, chunk, init)
+    _, v2c_fin, hard_out, llr_out, iters, conv = jax.lax.while_loop(
+        cond, chunk, init
+    )
 
     hard_ref[:, :] = hard_out.astype(jnp.int32)
     llr_ref[:, :] = llr_out
     conv_ref[:, :] = conv.astype(jnp.int32)
     iters_ref[:, :] = iters.astype(jnp.int32)
+    if emit_state:
+        v2c_out_ref[:, :] = v2c_fin
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("method", "max_iter", "alpha_fixed", "wr", "m_pad",
-                     "n_pad", "block", "interpret", "msg_dtype"),
+    static_argnames=("method", "max_iter", "it0", "alpha_fixed", "widths",
+                     "slots", "m_pad", "n_pad", "block", "resume",
+                     "emit_state", "interpret", "msg_dtype"),
 )
-def _bp_pallas_impl(synd, llr0, skip, ev, ht, mask,
-                    *, method, max_iter, alpha_fixed, wr, m_pad, n_pad, block,
+def _bp_pallas_impl(synd, llr0, skip, v2c_in, ht, mask, *evs,
+                    method, max_iter, it0, alpha_fixed, widths, slots,
+                    m_pad, n_pad, block, resume, emit_state,
                     interpret=False, msg_dtype="float32"):
     B = synd.shape[0]
     grid = B // block
+    wrf = sum(slots)
+    E = wrf * m_pad
     kernel = functools.partial(
-        _bp_kernel, method=method, max_iter=max_iter, alpha_fixed=alpha_fixed,
-        wr=wr, m_pad=m_pad, n_pad=n_pad, BS=block,
-        msg_dtype=jnp.dtype(msg_dtype),
+        _bp_kernel, method=method, max_iter=max_iter, it0=it0,
+        alpha_fixed=alpha_fixed, widths=widths, slots=slots,
+        m_pad=m_pad, n_pad=n_pad, BS=block, resume=resume,
+        emit_state=emit_state, msg_dtype=jnp.dtype(msg_dtype),
     )
+
+    def bspec(w):
+        return pl.BlockSpec((block, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [bspec(m_pad), bspec(n_pad), bspec(128)]
+    args = [synd, llr0, skip]
+    if resume:
+        in_specs.append(bspec(E))
+        args.append(v2c_in)
+    in_specs.append(
+        pl.BlockSpec((n_pad, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    in_specs.append(
+        pl.BlockSpec((wrf, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    args += [ht, mask]
+    for g, ev in enumerate(evs):
+        in_specs.append(
+            pl.BlockSpec(ev.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(ev)
+
+    out_specs = [bspec(n_pad), bspec(n_pad), bspec(128), bspec(128)]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, n_pad), jnp.int32),
+        jax.ShapeDtypeStruct((B, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        jax.ShapeDtypeStruct((B, 128), jnp.int32),
+    ]
+    if emit_state:
+        out_specs.append(bspec(E))
+        out_shape.append(jax.ShapeDtypeStruct((B, E), jnp.float32))
+
     # plain pallas interpret (pure XLA lowering), NOT the Mosaic TPU
     # simulator: the simulator's io_callback buffer machinery deadlocks
     # under multi-device SPMD execution (shard_map on the CPU mesh)
@@ -245,27 +401,10 @@ def _bp_pallas_impl(synd, llr0, skip, ev, ht, mask,
         kernel,
         grid=(grid,),
         interpret=interpret,
-        in_specs=[
-            pl.BlockSpec((block, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wr * m_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wr, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((B, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((B, n_pad), jnp.int32),
-        ],
-    )(synd, llr0, skip, ev, ht, mask)
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*args)
 
 
 def bp_decode_pallas(
@@ -281,9 +420,13 @@ def bp_decode_pallas(
     interpret: bool = False,
     skip=None,
     msg_dtype: str = "float32",
+    v2c_init=None,
+    it0: int = 0,
+    emit_state: bool = False,
 ):
     """Fused-BP decode; returns ``(hard [B, n] uint8, llr [B, n] f32,
-    converged [B] bool, iterations [B] int32)`` like ``bp_decode``.
+    converged [B] bool, iterations [B] int32)`` like ``bp_decode``, plus the
+    final ``v2c [B, E]`` message state when ``emit_state=True``.
 
     ``operators`` is the dict from :func:`build_bp_operators` — pass it
     through any enclosing jit as an argument.
@@ -292,14 +435,27 @@ def bp_decode_pallas(
     ``hard`` is zeros, ``llr`` is the prior, ``converged`` reads True, and
     an all-skip block exits before its first iteration — sort the batch so
     skips cluster into whole blocks (used by the staged long-``max_iter``
-    pipeline, which re-decodes only prior BP failures).
+    pipeline, which resumes only prior BP failures).
+
+    ``v2c_init``/``it0`` resume a previous run's message state from
+    iteration ``it0 + 1`` (see module docstring); ``iterations`` then
+    reports the TOTAL count from iteration 1.
     """
     method = normalize_bp_method(bp_method)
     if max_iter == 0:
         max_iter = graph.n
-    m, n, wr = graph.m, graph.n, graph.wr
+    m, n = graph.m, graph.n
     m_pad = _round_up(m, 128)
     n_pad = _round_up(n, 128)
+
+    evs = []
+    g = 0
+    while f"ev{g}" in operators:
+        evs.append(jnp.asarray(operators[f"ev{g}"]))
+        g += 1
+    widths = tuple(int(e.shape[0]) for e in evs)
+    slots = tuple(int(e.shape[1]) // m_pad for e in evs)
+    E = sum(slots) * m_pad
 
     syndromes = jnp.asarray(syndromes)
     if syndromes.ndim == 1:
@@ -313,30 +469,33 @@ def bp_decode_pallas(
     llr0 = jnp.broadcast_to(jnp.asarray(llr0, jnp.float32), (B, n))
     llr0_p = jnp.pad(llr0, ((0, 0), (0, n_pad - n)), constant_values=1.0)
     if skip is None:
-        skip_p = jnp.zeros((B, n_pad), jnp.int32)
+        skip_p = jnp.zeros((B, 128), jnp.int32)
     else:
         skip_p = jnp.broadcast_to(
-            jnp.asarray(skip).astype(jnp.int32)[:, None], (B, n_pad)
+            jnp.asarray(skip).astype(jnp.int32)[:, None], (B, 128)
         )
+    resume = v2c_init is not None
+    v2c_in = v2c_init if resume else jnp.zeros((1, 1), jnp.float32)
 
     dt = jnp.dtype(msg_dtype)
-    args = (
-        synd_p, llr0_p, skip_p,
-        jnp.asarray(operators["edge_var"]).astype(dt),
+    out = _bp_pallas_impl(
+        synd_p, llr0_p, skip_p, v2c_in,
         jnp.asarray(operators["h_t"]).astype(dt),
         jnp.asarray(operators["mask"]),
+        *[e.astype(dt) if dt != jnp.float32 else e for e in evs],
+        method=method, max_iter=int(max_iter), it0=int(it0),
+        alpha_fixed=float(ms_scaling_factor), widths=widths, slots=slots,
+        m_pad=m_pad, n_pad=n_pad, block=block, resume=resume,
+        emit_state=emit_state, interpret=interpret, msg_dtype=str(dt),
     )
-    kwargs = dict(
-        method=method, max_iter=int(max_iter),
-        alpha_fixed=float(ms_scaling_factor),
-        wr=wr, m_pad=m_pad, n_pad=n_pad, block=block, interpret=interpret,
-        msg_dtype=str(dt),
-    )
-    hard, llr, conv, iters = _bp_pallas_impl(*args, **kwargs)
+    hard, llr, conv, iters = out[:4]
 
-    return (
+    res = (
         hard[:, :n].astype(jnp.uint8),
         llr[:, :n],
         conv[:, 0].astype(bool),
         iters[:, 0],
     )
+    if emit_state:
+        return res + (out[4],)
+    return res
