@@ -3,37 +3,37 @@
 Fuses the ENTIRE osd_cs pipeline (reference ``README.md:185-187``: osd0 +
 combination sweep of arXiv:2005.07016) into one VMEM-resident program.
 
-Round-3 redesign (pre-permuted static column order):
+Design (round 3, v3 — pre-permuted matrix, batch on lanes):
 
-The round-2 kernel eliminated columns in per-sample reliability order read
-from a ``perm`` input.  Every step then needed a one-hot select over the
-word axis of the packed matrix (``[W, m_pad, BS]`` select-sum) plus a
-per-sample VECTOR shift to extract the pivot column — together ~10x the
-cost of the irreducible XOR volume.  Here an XLA pre-pass builds, per
-sample, the packed matrix with columns ALREADY in reliability order:
-
-1. ``_permuted_packed_h``: Hp[b][:, c'] = H[:, perm[b, c']], bit-packed
-   along the permuted column axis.  Built exactly with byte-split f32
-   matmuls (one-hot scatter weights <= 128, sums <= 2^24 — MXU work, exact
-   in f32), chunked over the batch to bound memory.
-2. The elimination then visits columns 0..n-1: the word index is a
-   *scalar* ``t >> 5`` (a dynamic leading-axis ref read, resolved by
-   addressing hardware, not VPU selects) and the bit shift ``t & 31`` is a
-   scalar-uniform shift.  The packed matrix lives in a mutable VMEM
-   scratch ref.
-3. Candidate ranks simplify: the reliability position of permuted column
-   ``c'`` IS ``c'``, so the ``ppos`` inverse-permutation input of round 2
-   disappears while the tie-break key stays bit-identical
-   (``weight * BASE + rank``, zero pattern first, weight-1 by reliability,
-   weight-2 pairs lexicographic).
-4. The kernel emits the osd0/osdw error vectors directly in permuted
-   coordinates (pivot values via column-dot-syndrome: a fully reduced
-   pivot column is a unit vector at its pivot row, so
-   ``e[c'] = <col_c', s_reduced>`` masked by the pivot bitmask).  The
-   caller scatters them back through ``perm`` — no pivot id/row outputs
-   or host-side gathers needed.
-
-Layout: batch on lanes, check rows on sublanes, int32 bitcast arithmetic.
+1. **Pre-permuted static column order.**  An XLA pre-pass builds, per
+   sample, the bit-packed parity-check matrix with columns ALREADY in
+   reliability order: ``Hp[b][:, c'] = H[:, perm[b, c']]``.  The weighted
+   one-hot ``M8[c, g, b] = 2^(p & 15)`` (p = permuted position of column
+   c in sample b, g = p>>4 its 16-bit group) is built straight from
+   ``perm`` — no inverse permutation, no scatter — and contracts against
+   H as ONE flat f32 matmul ``[m_pad, n_pad] x [n_pad, 2W*B]`` (group and
+   batch merged on the N axis, so the MXU runs full tiles; sums of
+   distinct powers of two <= 65535 are exact in f32).  Lo/hi 16-bit
+   halves combine into int32 words; the only transpose left is a
+   leading-axis swap (no element shuffling within batch rows).
+2. **The elimination visits columns 0..n-1**: the word index is a scalar
+   ``t >> 5`` (a dynamic leading-axis read of a mutable VMEM scratch ref,
+   resolved by addressing hardware) and the bit shift ``t & 31`` is
+   scalar-uniform — no per-step one-hot word selects, no per-sample
+   vector shifts, no integer multiplies (AND masks only).  Batch stays on
+   LANES (planes ``[m_pad, BS]``): per-sample scalars are cheap sublane
+   reductions (the batch-on-sublanes variant measured 2.6x slower from
+   cross-lane reductions).
+3. **Candidate ranks**: the reliability position of permuted column
+   ``c'`` IS ``c'``, so the tie-break key
+   (``weight * BASE + rank``: zero pattern, then weight-1 by
+   reliability, then weight-2 pairs lexicographic) stays bit-identical to
+   the reference candidate order with no inverse-permutation input.
+4. **Original-coordinate emission**: a final pass reads ``perm`` (grouped
+   by packed word) and scatters each permuted column's osd0/osdw bit to
+   its original SUBLANE by compare-accumulate, so the caller gets error
+   vectors in original coordinates with one cheap transpose — the XLA 2D
+   scatter this replaces cost ~20 ms per output at B=8192.
 """
 
 from __future__ import annotations
@@ -51,73 +51,53 @@ __all__ = ["osd_cs_pallas"]
 # python int: a module-level jnp scalar would become a captured constant
 # inside the kernel trace, which pallas_call rejects
 _BIGKEY = 1 << 28
-_PREPASS_CHUNK = 512
 
 
 def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-def _permuted_packed_h(graph, perm, W, m_pad):
-    """Per-sample column-permuted, bit-packed H: returns [B, W, m_pad] int32.
+def _permuted_packed_h(graph, perm, W, m_pad, n_pad):
+    """Per-sample column-permuted, bit-packed H: returns [W, m_pad, B] int32.
 
-    ``out[b, w, i]`` bit ``v`` = ``H[i, perm[b, 32w+v]]``.  Exact f32
-    matmul construction: column c lands at permuted position p = ppos[b,c];
-    a weighted one-hot M8[b, c, p>>3] = 1 << (p & 7) contracts against H^T
-    over c, giving the packed BYTES (values <= 8*128, exact in f32), which
-    are then combined into int32 words.
-
-    H^T is unpacked from ``graph.H_packed`` (a pytree leaf, available
-    inside jit; ``graph.H`` is host-only and absent after tree_unflatten).
+    ``out[w, i, b]`` bit ``v`` = ``H[i, perm[b, 32w+v]]``.  See module
+    docstring, step 1.  H is unpacked from ``graph.H_packed`` (a pytree
+    leaf, available inside jit; ``graph.H`` is host-only).
     """
     n = perm.shape[1]
     m = graph.m
     B = perm.shape[0]
-    K4 = 4 * W
+    K2 = 2 * W
     hp = jax.lax.bitcast_convert_type(
         jnp.asarray(graph.H_packed), jnp.int32
     )  # [m, W]
     bits = (hp[:, :, None] >> jnp.arange(32, dtype=jnp.int32)) & 1
     Hd = bits.reshape(m, W * 32)[:, :n]  # [m, n]
-    Ht = jnp.zeros((n, m_pad), jnp.float32).at[:, :m].set(
-        Hd.astype(jnp.float32).T
+    Hf = jnp.zeros((m_pad, n_pad), jnp.float32).at[:m, :n].set(
+        Hd.astype(jnp.float32)
     )
-    k_iota = jnp.arange(K4, dtype=jnp.int32)
-    nchunk = (
-        B // _PREPASS_CHUNK
-        if B % _PREPASS_CHUNK == 0 and B >= _PREPASS_CHUNK
-        else 1
-    )
-    csize = B // nchunk
-    bidx = jnp.arange(csize, dtype=jnp.int32)[:, None]
-    cols = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (csize, n))
+    c_iota = jnp.arange(n_pad, dtype=jnp.int32)
 
-    def chunk_fn(perm_c):  # [C, n] -> [C, W, m_pad] int32
-        ppos = (
-            jnp.zeros((csize, n), jnp.int32).at[bidx, perm_c].set(cols)
-        )
-        key = ppos >> 3
-        val = (1 << (ppos & 7)).astype(jnp.float32)
-        M8 = (key[:, :, None] == k_iota[None, None, :]) * val[:, :, None]
-        bytes_f = jnp.einsum(
-            "bck,ci->bki", M8, Ht, preferred_element_type=jnp.float32
-        )  # [C, K4, m_pad]
-        bytes_i = bytes_f.astype(jnp.int32).reshape(csize, W, 4, m_pad)
-        word = (
-            bytes_i[:, :, 0]
-            | (bytes_i[:, :, 1] << 8)
-            | (bytes_i[:, :, 2] << 16)
-            | (bytes_i[:, :, 3] << 24)
-        )
-        return word
+    # permuted positions grouped by 16, group-major then batch:
+    # pg[k2, b, j] = perm[b, 16*k2 + j]
+    pgm = jnp.pad(perm, ((0, 0), (0, 32 * W - n)), constant_values=n_pad - 1)
+    pg = jnp.transpose(pgm.reshape(B, K2, 16), (1, 0, 2))  # [K2, B, 16]
+    # NOTE: pad positions point at column n_pad-1; Hf columns >= n are
+    # zero, so they contribute nothing.
+    M8 = jnp.zeros((K2, B, n_pad), jnp.float32)
+    for j in range(16):
+        M8 = M8 + (pg[:, :, j, None] == c_iota) * np.float32(1 << j)
 
-    if nchunk == 1:
-        return chunk_fn(perm)
-    out = jax.lax.map(chunk_fn, perm.reshape(nchunk, csize, n))
-    return out.reshape(B, W, m_pad)
+    flat = M8.reshape(K2 * B, n_pad)
+    out = jnp.dot(Hf, flat.T, preferred_element_type=jnp.float32)
+    # [m_pad, K2*B] with columns (k2-major, b-minor)
+    out_i = out.astype(jnp.int32).reshape(m_pad, W, 2, B)
+    word = out_i[:, :, 0, :] | (out_i[:, :, 1, :] << 16)  # [m_pad, W, B]
+    # leading-axis swap only (batch rows stay contiguous)
+    return jnp.transpose(word, (1, 0, 2))
 
 
-def _osd_cs_kernel(synd_ref, skip_ref, h0_ref,
+def _osd_cs_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
                    e0_ref, ew_ref,
                    h_scr, pivw_scr,
                    *, n, m, W, r, m_pad, n_sub, lam, lam_pad, lamw):
@@ -126,20 +106,21 @@ def _osd_cs_kernel(synd_ref, skip_ref, h0_ref,
     Refs (batch on lanes):
       synd_ref  [m_pad, BS]     int32  syndrome bits
       skip_ref  [8, BS]         int32  row 0: 1 = skip sample
+      pw_ref    [W, 32, BS]     int32  perm grouped by packed word:
+                                       pw[w, v, b] = perm[b, 32w+v]
       h0_ref    [W, m_pad, BS]  int32  per-sample permuted packed H
-      e0_ref    [n_sub, BS]     int32  osd0 error vector (permuted coords)
-      ew_ref    [n_sub, BS]     int32  osdw error vector (permuted coords)
+      e0_ref    [n_sub, BS]     int32  osd0 error vector (ORIGINAL coords)
+      ew_ref    [n_sub, BS]     int32  osdw error vector (ORIGINAL coords)
       h_scr     [W, m_pad, BS]  int32  scratch: reduced matrix (in place)
       pivw_scr  [W, 8, BS]      int32  scratch: pivot-column bitmask (row 0)
     """
     BS = synd_ref.shape[1]
     BASE = jnp.int32(4096)  # > n + lam*lam + 2: max candidate rank
-    e0_ref[:, :] = jnp.zeros((n_sub, BS), jnp.int32)
-    ew_ref[:, :] = jnp.zeros((n_sub, BS), jnp.int32)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (m_pad, BS), 0)
     lam_iota = jax.lax.broadcasted_iota(jnp.int32, (lam_pad, BS), 0)
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, BS), 0)
+    sub_n = jax.lax.broadcasted_iota(jnp.int32, (n_sub, BS), 0)
     valid_row = row_iota < m
 
     h_scr[:, :, :] = h0_ref[:, :, :]
@@ -151,13 +132,12 @@ def _osd_cs_kernel(synd_ref, skip_ref, h0_ref,
     tt0 = skiprow * lam
     live = jnp.min(skiprow) == 0  # any sample in the block does real work
 
-    # ---- phase 1: elimination + T-id collection + packed pivot mask ----
+    # ---- phase 1: elimination + T-id collection + pivot bitmask --------
     def step(carry):
         t, s, used, rr, tt, tcid = carry
         w = t >> 5
         b = t & 31
-        cw = h_scr[w]  # [m_pad, BS] dynamic leading-axis read
-        colbits = (cw >> b) & 1
+        colbits = (h_scr[w] >> b) & 1  # [m_pad, BS] dynamic word read
 
         elig = (colbits == 1) & (used == 0) & valid_row
         has = jnp.any(elig, axis=0) & (rr < r)  # [BS]
@@ -166,11 +146,11 @@ def _osd_cs_kernel(synd_ref, skip_ref, h0_ref,
 
         onehot = (row_iota == pr[None, :]) & has[None, :]
         ohm = -onehot.astype(jnp.int32)  # all-ones where pivot row
-        s_piv = jnp.sum(jnp.where(onehot, s, 0), axis=0)  # [BS]
+        s_piv = jnp.sum(s & ohm, axis=0)  # [BS]
         elimm = -((colbits == 1) & ~onehot & has[None, :]).astype(jnp.int32)
 
         # Jordan step over every word: extraction and update are plain
-        # AND/XOR passes (no integer multiplies, no word selects)
+        # AND/XOR passes (no word selects, no integer multiplies)
         for w2 in range(W):
             hw = h_scr[w2]
             piv = jnp.sum(hw & ohm, axis=0)  # [BS] pivot-row word
@@ -180,12 +160,12 @@ def _osd_cs_kernel(synd_ref, skip_ref, h0_ref,
         # pivot-column bitmask: set bit b of word w where a pivot fell
         pv = pivw_scr[w]
         pivw_scr[w] = pv | jnp.where(
-            iota8 == 0, (has.astype(jnp.int32) << b)[None, :], 0
+            iota8 == 0, jnp.left_shift(has.astype(jnp.int32), b)[None, :], 0
         )
 
         # record the first `lam` T columns (permuted ids): every visited
-        # column that did not produce a pivot is T, including
-        # post-rank-complete columns.  `t < n` guards CHUNK overrun.
+        # column that did not produce a pivot is T.  `t < n` guards CHUNK
+        # overrun steps.
         rec = ~has & (tt < lam) & (skiprow == 0) & (t < n)
         hit_t = (lam_iota == tt[None, :]) & rec[None, :]
         tcid = jnp.where(hit_t, t, tcid)
@@ -219,48 +199,47 @@ def _osd_cs_kernel(synd_ref, skip_ref, h0_ref,
     bt1_0 = jnp.zeros((BS,), jnp.int32) - 1
     bt2_0 = jnp.zeros((BS,), jnp.int32) - 1
     # packed reduced-column bits of the first `lam` T columns, one
-    # [m_pad, BS] word-plane per 32 slots (tuple: avoids stacked-axis
-    # indexing inside the Mosaic loop)
+    # [m_pad, BS] word-plane per 32 slots
     buf0 = tuple(jnp.zeros((m_pad, BS), jnp.int32) for _ in range(lamw))
 
-    # Every bit position is a compile-time constant: the shifts below are
-    # static and the whole sweep is straight-line vector code.
-    # ``lax.cond(live, ...)`` keeps all-skip blocks on the cheap branch
-    # (pure values only — ref writes happen under ``pl.when`` in phase 4).
-    def w1_all(carry):
-        best_key, bt1, bt2, buf = carry
-        buf = list(buf)
-        for c in range(n):
-            wi, bit = c >> 5, c & 31
-            hw = h_scr[wi]
-            colbits = (hw >> bit) & 1  # [m_pad, BS]
-            is_piv = (pivw_scr[wi][0] >> bit) & 1  # [BS]
-            wgt = jnp.sum(colbits ^ s, axis=0) + 1
-            key = wgt * BASE + 1 + c + _BIGKEY * is_piv
-            better = key < best_key
-            best_key = jnp.where(better, key, best_key)
-            bt1 = jnp.where(better, c, bt1)
-            bt2 = jnp.where(better, jnp.int32(-1), bt2)
+    # fori over packed words, 32 bit positions unrolled inside (static
+    # shifts); ``lax.cond(live, ...)`` keeps all-skip blocks cheap
+    def w1_all(carry0):
+        def word_body(w, carry):
+            best_key, bt1, bt2, buf = carry
+            buf = list(buf)
+            hw = h_scr[w]  # [m_pad, BS]
+            pv = pivw_scr[w][0]  # [BS]
+            for bit in range(32):
+                c = w * 32 + bit  # traced
+                in_range = c < n
+                colbits = (hw >> bit) & 1
+                is_piv = (pv >> bit) & 1  # [BS]
+                wgt = jnp.sum(colbits ^ s, axis=0) + 1
+                key = wgt * BASE + 1 + c + _BIGKEY * is_piv
+                better = (key < best_key) & in_range
+                best_key = jnp.where(better, key, best_key)
+                bt1 = jnp.where(better, c, bt1)
+                bt2 = jnp.where(better, jnp.int32(-1), bt2)
 
-            # pack this column's bits into the first-lam buffer
-            match = tcid == c  # [lam_pad, BS]
-            found = jnp.any(match, axis=0)  # [BS]
-            slot = jnp.sum(
-                jnp.where(match, lam_iota, 0), axis=0
-            )  # [BS], 0 when absent
-            for lw in range(lamw):
-                in_lw = (found & ((slot >> 5) == lw)).astype(jnp.int32)
-                shift = (slot & 31)[None, :]
-                buf[lw] = buf[lw] | ((colbits * in_lw[None, :]) << shift)
-        return best_key, bt1, bt2, tuple(buf)
+                # pack this column's bits into the first-lam buffer
+                match = tcid == c  # [lam_pad, BS]
+                found = jnp.any(match, axis=0)  # [BS]
+                slot = jnp.sum(
+                    jnp.where(match, lam_iota, 0), axis=0
+                )  # [BS], 0 when absent
+                for lw in range(lamw):
+                    in_lw = -(found & ((slot >> 5) == lw)).astype(jnp.int32)
+                    shift = (slot & 31)[None, :]
+                    buf[lw] = buf[lw] | ((colbits & in_lw[None, :]) << shift)
+            return best_key, bt1, bt2, tuple(buf)
+
+        return jax.lax.fori_loop(0, W, word_body, carry0)
 
     carry = (best_key0, bt1_0, bt2_0, buf0)
     best_key, bt1, bt2, buf = jax.lax.cond(live, w1_all, lambda c: c, carry)
 
     # ---- phase 3: weight-2 sweep over pairs of the first lam T columns --
-    # Outer loop over ``a`` stays a (live-gated) while_loop; the inner
-    # ``b`` loop is statically unrolled so every unpack shift is a
-    # compile-time constant.
     if lam >= 2:
         def unpack(idx):
             """Bits of T-slot ``idx`` (traced scalar) from the packed buf."""
@@ -294,29 +273,54 @@ def _osd_cs_kernel(synd_ref, skip_ref, h0_ref,
             (jnp.int32(0), best_key, bt1, bt2),
         )
 
-    # ---- phase 4: winner residual + osd0/osdw vectors ------------------
-    # e[c'] = <col_c', s> masked by the pivot bit (a reduced pivot column
-    # is a unit vector at its pivot row, so the dot reads the solution off
-    # the reduced syndrome); winner T bits are added on top for osdw.
-    @pl.when(live)
-    def _emit():
+    # ---- phase 4: winner residual + original-coordinate emission -------
+    # e[c'] = <col_c', s*> masked by the pivot bit (a reduced pivot column
+    # is a unit vector at its pivot row); each permuted column's bit is
+    # scattered to its ORIGINAL sublane perm[c'] by compare-accumulate.
+    def emit(_):
         def colbits_of(tid):
             """[m_pad, BS] bits of permuted column ``tid`` ([BS]); 0 if -1."""
             tw = tid >> 5
             acc = jnp.zeros((m_pad, BS), jnp.int32)
             for w2 in range(W):
                 acc = acc | jnp.where(tw[None, :] == w2, h_scr[w2], 0)
-            bits = (acc >> (tid & 31)[None, :]) & 1
-            return bits & (tid >= 0)[None, :].astype(jnp.int32)
+            bits = (acc >> jnp.clip(tid & 31, 0, 31)[None, :]) & 1
+            return bits & -(tid >= 0)[None, :].astype(jnp.int32)
 
         sbest = s ^ colbits_of(bt1) ^ colbits_of(bt2)
-        for c in range(n):
-            wi, bit = c >> 5, c & 31
-            colbits = (h_scr[wi] >> bit) & 1
-            is_piv = -((pivw_scr[wi][0] >> bit) & 1)  # 0 or all-ones
-            e0_ref[c, :] = jnp.sum(colbits & s, axis=0) & is_piv
-            ew = jnp.sum(colbits & sbest, axis=0) & is_piv
-            ew_ref[c, :] = ew + (bt1 == c) + (bt2 == c)
+
+        def word_body(w, accs):
+            e0acc, ewacc = accs
+            hw = h_scr[w]
+            pv = pivw_scr[w][0]  # [BS]
+            pblock = pw_ref[w]  # [32, BS] original ids of this word's cols
+            for bit in range(32):
+                c = w * 32 + bit
+                in_range = c < n
+                colbits = (hw >> bit) & 1
+                is_piv = -((pv >> bit) & 1)  # 0 or all-ones [BS]
+                orig = pblock[bit][None, :]  # [1, BS]
+                hit = sub_n == orig  # [n_sub, BS]
+                e0c = (jnp.sum(colbits & (-s), axis=0) & is_piv) > 0
+                e0acc = e0acc | (hit & e0c[None, :] & in_range).astype(
+                    jnp.int32
+                )
+                ewc = (jnp.sum(colbits & (-sbest), axis=0) & is_piv) > 0
+                ewc = ewc | (bt1 == c) | (bt2 == c)
+                ewacc = ewacc | (hit & ewc[None, :] & in_range).astype(
+                    jnp.int32
+                )
+            return e0acc, ewacc
+
+        zero = jnp.zeros((n_sub, BS), jnp.int32)
+        return jax.lax.fori_loop(0, W, word_body, (zero, zero))
+
+    e0acc, ewacc = jax.lax.cond(
+        live, emit,
+        lambda _: (jnp.zeros((n_sub, BS), jnp.int32),) * 2, 0
+    )
+    e0_ref[:, :] = e0acc
+    ew_ref[:, :] = ewacc
 
 
 @functools.partial(
@@ -324,10 +328,10 @@ def _osd_cs_kernel(synd_ref, skip_ref, h0_ref,
     static_argnames=("n", "m", "W", "r", "lam", "lam_pad", "lamw", "block",
                      "interpret"),
 )
-def _osd_cs_impl(h_t, synd_t, skip_t,
+def _osd_cs_impl(h_t, synd_t, skip_t, pw_t,
                  *, n, m, W, r, lam, lam_pad, lamw, block, interpret=False):
     B = synd_t.shape[1]
-    m_pad = h_t.shape[1]
+    m_pad = synd_t.shape[0]
     grid = B // block
     n_sub = _round_up(n, 8)
     kernel = functools.partial(
@@ -341,6 +345,7 @@ def _osd_cs_impl(h_t, synd_t, skip_t,
         in_specs=[
             pl.BlockSpec((m_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 32, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, m_pad, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -355,7 +360,7 @@ def _osd_cs_impl(h_t, synd_t, skip_t,
             pltpu.VMEM((W, m_pad, block), jnp.int32),
             pltpu.VMEM((W, 8, block), jnp.int32),
         ],
-    )(synd_t, skip_t, h_t)
+    )(synd_t, skip_t, pw_t, h_t)
     return e0, ew
 
 
@@ -373,7 +378,8 @@ def osd_cs_pallas(graph, perm, synd, *, osd_order: int, skip=None,
         undefined, caller masks).  Cluster skips for whole-block savings.
 
     Returns ``(e0 [B, n] int32, e_w [B, n] int32)``: the osd0 and osdw
-    error vectors (undefined rows where ``skip``).
+    error vectors in ORIGINAL column coordinates (undefined rows where
+    ``skip``).
     """
     m, n, W, r = graph.m, graph.n, graph.num_words, graph.rank
     if n + 2 + osd_order * osd_order >= 4096:
@@ -384,6 +390,7 @@ def osd_cs_pallas(graph, perm, synd, *, osd_order: int, skip=None,
     lamw = max(-(-lam // 32), 1)
     B_in = perm.shape[0]
     m_pad = _round_up(m, 128)
+    n_pad = _round_up(n, 128)
 
     block = min(block, _round_up(B_in, 128))
     B = _round_up(B_in, block)
@@ -402,20 +409,15 @@ def osd_cs_pallas(graph, perm, synd, *, osd_order: int, skip=None,
             [synd, jnp.zeros((B - B_in, synd.shape[1]), jnp.int32)], axis=0)
         skip = jnp.concatenate([skip, jnp.ones((B - B_in,), jnp.int32)])
 
-    hp = _permuted_packed_h(graph, perm, W, m_pad)  # [B, W, m_pad]
-    h_t = jnp.transpose(hp, (1, 2, 0))  # [W, m_pad, B]
+    h_t = _permuted_packed_h(graph, perm, W, m_pad, n_pad)  # [W, m_pad, B]
     synd_t = jnp.pad(synd, ((0, 0), (0, m_pad - m))).T
     skip_t = jnp.broadcast_to(skip[None, :], (8, B))
+    # perm grouped by packed word: pw[w, v, b] = perm[b, 32w+v]
+    pw = jnp.pad(perm, ((0, 0), (0, 32 * W - n)))
+    pw_t = jnp.transpose(pw.reshape(B, W, 32), (1, 2, 0))  # [W, 32, B]
 
     kw = dict(n=n, m=m, W=W, r=r, lam=lam, lam_pad=lam_pad, lamw=lamw,
               block=block, interpret=interpret)
-    e0p, ewp = _osd_cs_impl(h_t, synd_t, skip_t, **kw)
+    e0p, ewp = _osd_cs_impl(h_t, synd_t, skip_t, pw_t, **kw)
 
-    # back to original column coordinates: e[b, perm[b, c']] = e_p[b, c']
-    e0p = e0p.T[:B_in, :n]  # [B, n] permuted coords
-    ewp = ewp.T[:B_in, :n]
-    bidx = jnp.arange(B_in)[:, None]
-    perm_in = perm[:B_in]
-    e0 = jnp.zeros((B_in, n), jnp.int32).at[bidx, perm_in].set(e0p)
-    e_w = jnp.zeros((B_in, n), jnp.int32).at[bidx, perm_in].set(ewp)
-    return e0, e_w
+    return e0p.T[:B_in, :n], ewp.T[:B_in, :n]

@@ -1,113 +1,74 @@
-"""Micro-profile the reorder glue + BP block-size sweep on real TPU."""
+"""Distinct-input timing of the pipeline's reorder glue: argsort of the
+convergence flag, inverse permutation, and the row gathers that cluster
+stage-2/OSD failures.  Identifies whether XLA TPU row-gathers are the
+hidden cost of the staged pipeline."""
+
 import os
 import time
 
 import numpy as np
 
 B = 8192
-N = 400
+E = 1792
+N = 512
+STEPS = 6
 
 
-def timeit(fn, *args, steps=10):
-    out = fn(*args)
-    jax_block(out)
+def bench(label, fn, args_list):
+    out = fn(*args_list[0])
+    for o in (out if isinstance(out, tuple) else (out,)):
+        o.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    jax_block(out)
-    return (time.perf_counter() - t0) / steps * 1e3
-
-
-def jax_block(out):
-    if isinstance(out, (tuple, list)):
-        for o in out:
-            jax_block(o)
-    else:
-        out.block_until_ready()
+    for i in range(STEPS):
+        out = fn(*args_list[i])
+    for o in (out if isinstance(out, tuple) else (out,)):
+        o.block_until_ready()
+    print(f"{label}: {(time.perf_counter() - t0) / STEPS * 1e3:.2f} ms")
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    r = np.random.default_rng(0)
-    conv = jax.device_put(r.random(B) < 0.55)
-    synd_u8 = jax.device_put(r.integers(0, 2, (B, N)).astype(np.uint8))
-    synd_i32 = jax.device_put(np.asarray(synd_u8, np.int32))
-    llr = jax.device_put(r.standard_normal((B, N)).astype(np.float32))
+    rng = np.random.default_rng(5)
+    convs = [jax.device_put((rng.random(B) < 0.55).astype(bool))
+             for _ in range(STEPS)]
+    synds = [jax.device_put(rng.integers(0, 2, (B, 192)).astype(np.uint8))
+             for _ in range(STEPS)]
+    llrs = [jax.device_put(rng.normal(size=(B, 400)).astype(np.float32))
+            for _ in range(STEPS)]
+    v2cs = [jax.device_put(rng.normal(size=(B, E)).astype(np.float32))
+            for _ in range(STEPS)]
+    orders = [jax.device_put(rng.permutation(B).astype(np.int32))
+              for _ in range(STEPS)]
 
-    t = timeit(jax.jit(lambda c: jnp.argsort(c.astype(jnp.int32), stable=True)), conv)
-    print(f"argsort conv [B]: {t:.2f} ms")
-    order = jnp.argsort(conv.astype(jnp.int32), stable=True)
+    aso = jax.jit(lambda c: jnp.argsort(c.astype(jnp.int32), stable=True))
+    bench("argsort conv [B]", aso, [(c,) for c in convs])
 
-    t = timeit(jax.jit(lambda o: jnp.argsort(o)), order)
-    print(f"argsort order [B] (inverse): {t:.2f} ms")
+    inv = jax.jit(lambda o: jnp.zeros((B,), jnp.int32).at[o].set(
+        jnp.arange(B, dtype=jnp.int32)))
+    bench("inverse scatter [B]", inv, [(o,) for o in orders])
 
-    t = timeit(jax.jit(lambda o: jnp.zeros((B,), jnp.int32).at[o].set(jnp.arange(B, dtype=jnp.int32))), order)
-    print(f"scatter inverse [B]: {t:.2f} ms")
+    bench("gather synd u8 [B,192]", jax.jit(lambda s, o: s[o]),
+          list(zip(synds, orders)))
+    bench("gather llr f32 [B,400]", jax.jit(lambda s, o: s[o]),
+          list(zip(llrs, orders)))
+    bench("gather v2c f32 [B,1792]", jax.jit(lambda s, o: s[o]),
+          list(zip(v2cs, orders)))
 
-    t = timeit(jax.jit(lambda s, o: s[o]), synd_u8, order)
-    print(f"row gather [B,{N}] uint8: {t:.2f} ms")
+    def stage2_prep(conv, synd, llr, v2c):
+        order = jnp.argsort(conv.astype(jnp.int32), stable=True)
+        invp = jnp.zeros((B,), jnp.int32).at[order].set(
+            jnp.arange(B, dtype=jnp.int32))
+        return synd[order], llr[order], v2c[order], conv[order], invp
 
-    t = timeit(jax.jit(lambda s, o: s[o]), synd_i32, order)
-    print(f"row gather [B,{N}] int32: {t:.2f} ms")
-
-    t = timeit(jax.jit(lambda s, o: s[o]), llr, order)
-    print(f"row gather [B,{N}] f32: {t:.2f} ms")
-
-    t = timeit(jax.jit(lambda s, o: jnp.take(s, o, axis=0, unique_indices=True, indices_are_sorted=False)), llr, order)
-    print(f"take unique [B,{N}] f32: {t:.2f} ms")
-
-    # gather on transposed layout (lanes = batch)
-    llr_t = jnp.asarray(llr).T.copy()
-    t = timeit(jax.jit(lambda s, o: s[:, o]), llr_t, order)
-    print(f"col gather [N,B] f32 (transposed): {t:.2f} ms")
-
-    # sort key+payload together via lax.sort
-    def sortall(c, s, l):
-        key = c.astype(jnp.int32)
-        out = jax.lax.sort((key, jnp.arange(B, dtype=jnp.int32)), num_keys=1)
-        return out[1]
-    t = timeit(jax.jit(sortall), conv, synd_i32, llr)
-    print(f"lax.sort key+iota: {t:.2f} ms")
-
-    # full glue as used in pipeline
-    def glue(c, s, l):
-        o = jnp.argsort(c.astype(jnp.int32), stable=True)
-        inv = jnp.argsort(o)
-        return s[o], l[o], inv
-    t = timeit(jax.jit(glue), conv, synd_i32, llr)
-    print(f"full glue (argsort+inv+2 gathers): {t:.2f} ms")
-
-    # --- BP block sweep ---
-    from bp_osd_tpu.codes import hgp, mkmn_16_4_6
-    from bp_osd_tpu.decoder import TannerGraph, llr_from_channel
-    from bp_osd_tpu.ops.pallas_bp import bp_decode_pallas, build_bp_operators
-
-    qcode = hgp(mkmn_16_4_6())
-    graph = TannerGraph(qcode.hx.toarray())
-    bp_ops = jax.device_put(build_bp_operators(graph))
-    graph_dev = jax.device_put(graph)
-    H = graph.H
-    errors = (r.random((B, graph.n)) < 0.05).astype(np.uint8)
-    synd = jax.device_put((errors @ H.T % 2).astype(np.uint8))
-    llr0 = jax.device_put(
-        np.broadcast_to(np.asarray(llr_from_channel(np.full(graph.n, 0.05))),
-                        (B, graph.n)).copy())
-    for blk in (128, 256, 512):
-        try:
-            fn = jax.jit(lambda g, o, s, l, b=blk: bp_decode_pallas(
-                g, o, s, l, max_iter=32, bp_method="minimum_sum",
-                ms_scaling_factor=0.0, block=b))
-            t = timeit(fn, graph_dev, bp_ops, synd, llr0, steps=5)
-            print(f"stage1 BP block={blk}: {t:.1f} ms")
-        except Exception as e:
-            print(f"stage1 BP block={blk}: FAILED {type(e).__name__}: {str(e)[:200]}")
+    bench("full stage2 prep", jax.jit(stage2_prep),
+          list(zip(convs, synds, llrs, v2cs)))
 
 
 if __name__ == "__main__":
