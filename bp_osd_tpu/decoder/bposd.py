@@ -91,15 +91,16 @@ class BpDecoder:
             raise ValueError(
                 f"schedule must be parallel/serial/layered, got {schedule!r}"
             )
-        # the ldpc interface also accepts "received_vitype" (decode a noisy
-        # received word rather than a syndrome); silently decoding with
-        # syndrome semantics would corrupt such callers, so reject loudly
-        # until that mode is implemented (reference README.md:181-216 only
-        # exercises syndrome decoding)
-        if input_vector_type != "syndrome":
+        # the ldpc ctor surface also accepts received-vector decoding: the
+        # input to ``decode`` is a noisy length-n word, the syndrome is
+        # H @ w mod 2, and the returned decoding is the estimated CODEWORD
+        # w XOR e_hat (classical-LDPC semantics; the reference README only
+        # exercises syndrome decoding, README.md:181-216, but the N1 ctor
+        # boundary carries the argument — SURVEY.md section 2.2)
+        if input_vector_type not in ("syndrome", "received_vector"):
             raise NotImplementedError(
                 f"input_vector_type={input_vector_type!r} is not supported; "
-                "only 'syndrome' decoding is implemented"
+                "choose 'syndrome' or 'received_vector'"
             )
         self.input_vector_type = input_vector_type
         self.m, self.n = self.graph.m, self.graph.n
@@ -165,13 +166,33 @@ class BpDecoder:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
+    def _resolve_input(self, vectors):
+        """Map decode() input to syndromes per ``input_vector_type``.
+
+        Returns ``(syndromes [B, m], received [B, n] or None)``; in
+        received-vector mode decodings are ``received XOR e_hat``.
+        """
+        vectors = np.atleast_2d(np.asarray(vectors))
+        if self.input_vector_type == "syndrome":
+            return vectors.astype(np.uint8), None
+        received = vectors.astype(np.uint8)
+        if received.shape[1] != self.n:
+            raise ValueError(
+                f"received vector has length {received.shape[1]}, "
+                f"expected n={self.n}"
+            )
+        synd = (received @ self._osd_graph.H.T) % 2
+        return synd.astype(np.uint8), received
+
     def decode_batch(self, syndromes, channel_probs=None) -> np.ndarray:
-        syndromes = np.atleast_2d(np.asarray(syndromes))
+        syndromes, received = self._resolve_input(syndromes)
         B = syndromes.shape[0]
         res: BPResult = self._bp_fn(B)(
             self.graph, syndromes, self._llr0(channel_probs)
         )
         self.bp_decoding_batch = np.asarray(res.hard)
+        if received is not None:
+            self.bp_decoding_batch = self.bp_decoding_batch ^ received
         self.log_prob_ratios_batch = np.asarray(res.llr)
         self.converge_batch = np.asarray(res.converged)
         self.iter_batch = np.asarray(res.iterations)
@@ -208,6 +229,7 @@ class BpOsdDecoder(BpDecoder):
         osd_method: str = "osd_0",
         osd_order: int = 0,
         backend: str = "xla",
+        input_vector_type: str = "syndrome",
         **unused,
     ):
         super().__init__(
@@ -218,6 +240,7 @@ class BpOsdDecoder(BpDecoder):
             ms_scaling_factor=ms_scaling_factor,
             channel_probs=channel_probs,
             error_channel=error_channel,
+            input_vector_type=input_vector_type,
         )
         self.osd_method = normalize_osd_method(osd_method)
         self.osd_order = int(osd_order)
@@ -360,7 +383,7 @@ class BpOsdDecoder(BpDecoder):
     def decode_batch(self, syndromes, channel_probs=None,
                      chunk_size: int = _MAX_DISPATCH,
                      compact_osd: bool = False) -> np.ndarray:
-        syndromes = np.atleast_2d(np.asarray(syndromes))
+        syndromes, received = self._resolve_input(syndromes)
         B = syndromes.shape[0]
         llr0 = self._llr0(channel_probs)
         if compact_osd:
@@ -372,6 +395,10 @@ class BpOsdDecoder(BpDecoder):
                 self.osd0_decoding_batch,
                 self.osdw_decoding_batch,
             ) = self._decode_compact(syndromes, llr0, chunk_size)
+            if received is not None:
+                self.bp_decoding_batch = self.bp_decoding_batch ^ received
+                self.osd0_decoding_batch = self.osd0_decoding_batch ^ received
+                self.osdw_decoding_batch = self.osdw_decoding_batch ^ received
             return self.osdw_decoding_batch
         outs = {k: [] for k in ("hard", "llr", "conv", "iters", "osd0", "osdw")}
         for lo in range(0, B, chunk_size):
@@ -392,6 +419,10 @@ class BpOsdDecoder(BpDecoder):
         self.iter_batch = np.concatenate(outs["iters"])
         self.osd0_decoding_batch = np.concatenate(outs["osd0"])
         self.osdw_decoding_batch = np.concatenate(outs["osdw"])
+        if received is not None:
+            self.bp_decoding_batch = self.bp_decoding_batch ^ received
+            self.osd0_decoding_batch = self.osd0_decoding_batch ^ received
+            self.osdw_decoding_batch = self.osdw_decoding_batch ^ received
         return self.osdw_decoding_batch
 
     def decode(self, syndrome) -> np.ndarray:

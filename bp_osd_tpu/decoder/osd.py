@@ -428,6 +428,18 @@ def osd_decode(
         )
         return OsdResult(osd0=e0.astype(jnp.uint8), osdw=e_w.astype(jnp.uint8))
 
+    if (backend == "pallas" and method == "osd_e" and 0 < osd_order
+            and min(osd_order, n - r) <= 12 and n > r):
+        # fused exhaustive search: Gray-code enumeration of the 2^order
+        # patterns, one packed-column XOR per candidate, never leaving VMEM
+        from ..ops.pallas_osd import osd_e_pallas
+
+        e0, e_w = osd_e_pallas(
+            graph, perm, synd, osd_order=osd_order, skip=skip,
+            interpret=interpret,
+        )
+        return OsdResult(osd0=e0.astype(jnp.uint8), osdw=e_w.astype(jnp.uint8))
+
     if backend == "pallas":
         from ..ops.pallas_gf2 import eliminate_pallas
 

@@ -460,22 +460,33 @@ def bp_decode_pallas(
     syndromes = jnp.asarray(syndromes)
     if syndromes.ndim == 1:
         syndromes = syndromes[None, :]
-    B = syndromes.shape[0]
-    block = min(block, B)
-    if B % block:
-        raise ValueError(f"batch {B} must be divisible by block {block}")
+    B_in = syndromes.shape[0]
+    block = min(block, _round_up(B_in, 8))
+    # pad the batch to a whole number of blocks; padded rows are born
+    # "converged" (skip=1), so an all-pad block exits before iteration one
+    B = _round_up(B_in, block)
+    pad_b = B - B_in
 
-    synd_p = jnp.pad(syndromes.astype(jnp.int32), ((0, 0), (0, m_pad - m)))
-    llr0 = jnp.broadcast_to(jnp.asarray(llr0, jnp.float32), (B, n))
-    llr0_p = jnp.pad(llr0, ((0, 0), (0, n_pad - n)), constant_values=1.0)
+    synd_p = jnp.pad(
+        syndromes.astype(jnp.int32), ((0, pad_b), (0, m_pad - m))
+    )
+    llr0 = jnp.broadcast_to(jnp.asarray(llr0, jnp.float32), (B_in, n))
+    llr0_p = jnp.pad(
+        llr0, ((0, pad_b), (0, n_pad - n)), constant_values=1.0
+    )
     if skip is None:
-        skip_p = jnp.zeros((B, 128), jnp.int32)
+        skip_v = jnp.zeros((B_in,), jnp.int32)
     else:
-        skip_p = jnp.broadcast_to(
-            jnp.asarray(skip).astype(jnp.int32)[:, None], (B, 128)
-        )
+        skip_v = jnp.asarray(skip).astype(jnp.int32)
+    skip_p = jnp.broadcast_to(
+        jnp.pad(skip_v, (0, pad_b), constant_values=1)[:, None], (B, 128)
+    )
     resume = v2c_init is not None
-    v2c_in = v2c_init if resume else jnp.zeros((1, 1), jnp.float32)
+    v2c_in = (
+        jnp.pad(v2c_init, ((0, pad_b), (0, 0)))
+        if resume
+        else jnp.zeros((1, 1), jnp.float32)
+    )
 
     dt = jnp.dtype(msg_dtype)
     out = _bp_pallas_impl(
@@ -491,11 +502,11 @@ def bp_decode_pallas(
     hard, llr, conv, iters = out[:4]
 
     res = (
-        hard[:, :n].astype(jnp.uint8),
-        llr[:, :n],
-        conv[:, 0].astype(bool),
-        iters[:, 0],
+        hard[:B_in, :n].astype(jnp.uint8),
+        llr[:B_in, :n],
+        conv[:B_in, 0].astype(bool),
+        iters[:B_in, 0],
     )
     if emit_state:
-        return res + (out[4],)
+        return res + (out[4][:B_in],)
     return res

@@ -46,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["osd_cs_pallas"]
+__all__ = ["osd_cs_pallas", "osd_e_pallas"]
 
 # python int: a module-level jnp scalar would become a captured constant
 # inside the kernel trace, which pallas_call rejects
@@ -97,11 +97,17 @@ def _permuted_packed_h(graph, perm, W, m_pad, n_pad):
     return jnp.transpose(word, (1, 0, 2))
 
 
-def _osd_cs_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
-                   e0_ref, ew_ref,
-                   h_scr, pivw_scr,
-                   *, n, m, W, r, m_pad, n_sub, lam, lam_pad, lamw):
-    """One grid step: full eliminate + osd_cs search for BS samples.
+def _osd_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
+                e0_ref, ew_ref,
+                h_scr, pivw_scr,
+                *, n, m, W, r, m_pad, n_sub, lam, lam_pad, lamw, mode):
+    """One grid step: full eliminate + OSD candidate search for BS
+    samples.  ``mode="cs"`` runs the combination sweep (weight-1 over
+    all columns + weight-2 pairs over the first ``lam`` T columns);
+    ``mode="e"`` runs the exhaustive sweep over all ``2^lam`` patterns
+    on the first ``lam`` T columns via Gray-code enumeration (one
+    column XOR per candidate), with tie-break rank = the pattern's
+    counting index — identical to the XLA path's first-minimum argmin.
 
     Refs (batch on lanes):
       synd_ref  [m_pad, BS]     int32  syndrome bits
@@ -214,13 +220,14 @@ def _osd_cs_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
                 c = w * 32 + bit  # traced
                 in_range = c < n
                 colbits = (hw >> bit) & 1
-                is_piv = (pv >> bit) & 1  # [BS]
-                wgt = jnp.sum(colbits ^ s, axis=0) + 1
-                key = wgt * BASE + 1 + c + _BIGKEY * is_piv
-                better = (key < best_key) & in_range
-                best_key = jnp.where(better, key, best_key)
-                bt1 = jnp.where(better, c, bt1)
-                bt2 = jnp.where(better, jnp.int32(-1), bt2)
+                if mode == "cs":
+                    is_piv = (pv >> bit) & 1  # [BS]
+                    wgt = jnp.sum(colbits ^ s, axis=0) + 1
+                    key = wgt * BASE + 1 + c + _BIGKEY * is_piv
+                    better = (key < best_key) & in_range
+                    best_key = jnp.where(better, key, best_key)
+                    bt1 = jnp.where(better, c, bt1)
+                    bt2 = jnp.where(better, jnp.int32(-1), bt2)
 
                 # pack this column's bits into the first-lam buffer
                 match = tcid == c  # [lam_pad, BS]
@@ -239,8 +246,35 @@ def _osd_cs_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
     carry = (best_key0, bt1_0, bt2_0, buf0)
     best_key, bt1, bt2, buf = jax.lax.cond(live, w1_all, lambda c: c, carry)
 
-    # ---- phase 3: weight-2 sweep over pairs of the first lam T columns --
-    if lam >= 2:
+    # ---- phase 3 (mode e): Gray-code sweep over all 2^lam patterns ----
+    best_pat = jnp.zeros((BS,), jnp.int32)
+    if mode == "e" and lam >= 1:
+        # candidate i's pattern is gray(i) = i ^ (i >> 1); successive
+        # candidates differ in exactly one T slot, so each step is one
+        # packed-column XOR.  The tie-break rank is the pattern's COUNTING
+        # index gray(i) itself (< BASE by the wrapper's lam <= 12 guard).
+        def gray_body(i, st):
+            rres, best_key, best_pat = st
+            g = i ^ (i >> 1)
+            gp = (i - 1) ^ ((i - 1) >> 1)
+            slot = jax.lax.population_count((g ^ gp) - 1)
+            rres = rres ^ ((buf[0] >> slot) & 1)
+            wgt = jnp.sum(rres, axis=0) + jax.lax.population_count(g)
+            key = wgt * BASE + g
+            better = key < best_key
+            best_key = jnp.where(better, key, best_key)
+            best_pat = jnp.where(better, g, best_pat)
+            return rres, best_key, best_pat
+
+        _, best_key, best_pat = jax.lax.cond(
+            live,
+            lambda st: jax.lax.fori_loop(1, 1 << lam, gray_body, st),
+            lambda st: st,
+            (s, best_key, best_pat),
+        )
+
+    # ---- phase 3 (mode cs): weight-2 sweep over pairs of first lam T ----
+    if mode == "cs" and lam >= 2:
         def unpack(idx):
             """Bits of T-slot ``idx`` (traced scalar) from the packed buf."""
             sel = jnp.zeros((m_pad, BS), jnp.int32)
@@ -287,7 +321,13 @@ def _osd_cs_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
             bits = (acc >> jnp.clip(tid & 31, 0, 31)[None, :]) & 1
             return bits & -(tid >= 0)[None, :].astype(jnp.int32)
 
-        sbest = s ^ colbits_of(bt1) ^ colbits_of(bt2)
+        if mode == "cs":
+            sbest = s ^ colbits_of(bt1) ^ colbits_of(bt2)
+        else:
+            sbest = s
+            for sl in range(lam):
+                pmask = -((best_pat >> sl) & 1)  # [BS] 0 or all-ones
+                sbest = sbest ^ (((buf[0] >> sl) & 1) & pmask[None, :])
 
         def word_body(w, accs):
             e0acc, ewacc = accs
@@ -306,7 +346,16 @@ def _osd_cs_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
                     jnp.int32
                 )
                 ewc = (jnp.sum(colbits & (-sbest), axis=0) & is_piv) > 0
-                ewc = ewc | (bt1 == c) | (bt2 == c)
+                if mode == "cs":
+                    ewc = ewc | (bt1 == c) | (bt2 == c)
+                else:
+                    # winner T bit: is column c the T slot sl with the
+                    # pattern bit set?
+                    match = tcid == c  # [lam_pad, BS]
+                    found = jnp.any(match, axis=0)
+                    slot = jnp.sum(jnp.where(match, lam_iota, 0), axis=0)
+                    tbit = ((best_pat >> slot) & 1) > 0
+                    ewc = ewc | (found & tbit)
                 ewacc = ewacc | (hit & ewc[None, :] & in_range).astype(
                     jnp.int32
                 )
@@ -326,17 +375,18 @@ def _osd_cs_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "m", "W", "r", "lam", "lam_pad", "lamw", "block",
-                     "interpret"),
+                     "interpret", "mode"),
 )
-def _osd_cs_impl(h_t, synd_t, skip_t, pw_t,
-                 *, n, m, W, r, lam, lam_pad, lamw, block, interpret=False):
+def _osd_impl(h_t, synd_t, skip_t, pw_t,
+              *, n, m, W, r, lam, lam_pad, lamw, block, mode="cs",
+              interpret=False):
     B = synd_t.shape[1]
     m_pad = synd_t.shape[0]
     grid = B // block
     n_sub = _round_up(n, 8)
     kernel = functools.partial(
-        _osd_cs_kernel, n=n, m=m, W=W, r=r, m_pad=m_pad, n_sub=n_sub,
-        lam=lam, lam_pad=lam_pad, lamw=lamw,
+        _osd_kernel, n=n, m=m, W=W, r=r, m_pad=m_pad, n_sub=n_sub,
+        lam=lam, lam_pad=lam_pad, lamw=lamw, mode=mode,
     )
     e0, ew = pl.pallas_call(
         kernel,
@@ -364,9 +414,10 @@ def _osd_cs_impl(h_t, synd_t, skip_t, pw_t,
     return e0, ew
 
 
-def osd_cs_pallas(graph, perm, synd, *, osd_order: int, skip=None,
-                  block: int = 128, interpret: bool = False):
-    """Fused osd_cs decode on a reliability permutation.
+def _osd_pallas(graph, perm, synd, *, osd_order, mode, skip=None,
+                block=128, interpret=False):
+    """Shared wrapper for the fused osd_cs / osd_e kernels; see
+    :func:`osd_cs_pallas` / :func:`osd_e_pallas`.
 
     Args:
       graph: TannerGraph.
@@ -382,10 +433,15 @@ def osd_cs_pallas(graph, perm, synd, *, osd_order: int, skip=None,
     ``skip``).
     """
     m, n, W, r = graph.m, graph.n, graph.num_words, graph.rank
-    if n + 2 + osd_order * osd_order >= 4096:
-        raise ValueError("fused osd_cs tie-break key space exceeded")
     k = n - r
     lam = max(int(min(osd_order, k)), 0)
+    if mode == "cs" and n + 2 + lam * lam >= 4096:
+        raise ValueError("fused osd_cs tie-break key space exceeded")
+    if mode == "e" and lam > 12:
+        raise ValueError(
+            "fused osd_e supports order <= 12 (rank must fit the "
+            "tie-break key base); use the XLA path for deeper searches"
+        )
     lam_pad = max(_round_up(max(lam, 1), 8), 8)
     lamw = max(-(-lam // 32), 1)
     B_in = perm.shape[0]
@@ -417,7 +473,42 @@ def osd_cs_pallas(graph, perm, synd, *, osd_order: int, skip=None,
     pw_t = jnp.transpose(pw.reshape(B, W, 32), (1, 2, 0))  # [W, 32, B]
 
     kw = dict(n=n, m=m, W=W, r=r, lam=lam, lam_pad=lam_pad, lamw=lamw,
-              block=block, interpret=interpret)
-    e0p, ewp = _osd_cs_impl(h_t, synd_t, skip_t, pw_t, **kw)
+              block=block, mode=mode, interpret=interpret)
+    e0p, ewp = _osd_impl(h_t, synd_t, skip_t, pw_t, **kw)
 
     return e0p.T[:B_in, :n], ewp.T[:B_in, :n]
+
+
+def osd_cs_pallas(graph, perm, synd, *, osd_order: int, skip=None,
+                  block: int = 128, interpret: bool = False):
+    """Fused osd_cs decode on a reliability permutation.
+
+    Args:
+      graph: TannerGraph.
+      perm:  [B, n] int32 reliability column order (stable argsort of LLRs).
+      synd:  [B, m] syndrome bits.
+      osd_order: combination-sweep depth (weight-2 over the first
+        ``min(osd_order, k)`` T columns).
+      skip:  [B] optional bool/int; marked samples are bypassed (outputs
+        undefined, caller masks).  Cluster skips for whole-block savings.
+
+    Returns ``(e0 [B, n] int32, e_w [B, n] int32)``: the osd0 and osdw
+    error vectors in ORIGINAL column coordinates (undefined rows where
+    ``skip``).
+    """
+    return _osd_pallas(graph, perm, synd, osd_order=osd_order, mode="cs",
+                       skip=skip, block=block, interpret=interpret)
+
+
+def osd_e_pallas(graph, perm, synd, *, osd_order: int, skip=None,
+                 block: int = 128, interpret: bool = False):
+    """Fused exhaustive osd_e decode (reference ``README.md:185-187``,
+    order-w exhaustive search over the first ``min(osd_order, k)`` T
+    columns).  All ``2^order`` candidate patterns are evaluated by
+    Gray-code enumeration — one packed-column XOR per candidate — with
+    tie-break identical to the XLA path (first minimum in pattern counting
+    order).  Requires ``osd_order <= 12``; same signature and return
+    contract as :func:`osd_cs_pallas`.
+    """
+    return _osd_pallas(graph, perm, synd, osd_order=osd_order, mode="e",
+                       skip=skip, block=block, interpret=interpret)

@@ -14,8 +14,9 @@ from bp_osd_tpu.codes import surface_code
 from bp_osd_tpu.sim import css_decode_sim
 
 
-def sweep(distances=(3, 5, 7), error_rates=(0.02, 0.04, 0.06, 0.08, 0.10),
-          target_runs=2000, batch_size=1000, out=sys.stdout):
+def sweep(distances=(3, 5, 7, 9),
+          error_rates=(0.04, 0.06, 0.08, 0.09, 0.10, 0.11, 0.12),
+          target_runs=10000, batch_size=2500, out=sys.stdout):
     for d in distances:
         qcode = surface_code(d)
         for p in error_rates:
@@ -27,8 +28,8 @@ def sweep(distances=(3, 5, 7), error_rates=(0.02, 0.04, 0.06, 0.08, 0.10),
                 batch_size=batch_size,
                 bp_method="ms",
                 ms_scaling_factor=0.625,
-                osd_method="osd0",
-                osd_order=0,
+                osd_method="osd_cs",
+                osd_order=10,
                 channel_update=None,
                 tqdm_disable=1,
                 check_code=0,
@@ -43,6 +44,7 @@ def sweep(distances=(3, 5, 7), error_rates=(0.02, 0.04, 0.06, 0.08, 0.10),
                 "osd0_ler": result["osd0_logical_error_rate"],
                 "osd0_ler_eb": result["osd0_logical_error_rate_eb"],
                 "osdw_ler": result["osdw_logical_error_rate"],
+                "osdw_ler_eb": result["osdw_logical_error_rate_eb"],
                 "runs": result["run_count"],
             }
             print(json.dumps(point), file=out, flush=True)

@@ -75,3 +75,68 @@ def test_osd_decode_routes_pallas_osd_cs():
                      backend="pallas", interpret=True)
     np.testing.assert_array_equal(np.asarray(out.osd0), np.asarray(ref.osd0))
     np.testing.assert_array_equal(np.asarray(out.osdw), np.asarray(ref.osdw))
+
+
+def test_osd_e_pallas_matches_xla():
+    """Fused osd_e (Gray-code sweep) == XLA exhaustive search, bit for
+    bit, including candidate tie-break (first minimum in counting order)."""
+    import jax.numpy as jnp
+
+    from bp_osd_tpu.codes import hgp, rep_code
+    from bp_osd_tpu.decoder import TannerGraph, bp_decode, llr_from_channel
+    from bp_osd_tpu.decoder.osd import osd_decode
+
+    H = hgp(rep_code(4), rep_code(4)).hx.toarray()
+    g = TannerGraph(H)
+    B = 24
+    rng = np.random.default_rng(31)
+    errors = (rng.random((B, g.n)) < 0.12).astype(np.uint8)
+    synds = (errors @ H.T) % 2
+    llr0 = np.asarray(llr_from_channel(np.full(g.n, 0.12)))
+    bp = bp_decode(g, synds, llr0, bp_method="ms", max_iter=6,
+                   ms_scaling_factor=0.625)
+
+    for order in (1, 3, 7):
+        ref = osd_decode(g, synds, bp.llr, osd_method="osd_e",
+                         osd_order=order, backend="xla")
+        fused = osd_decode(g, synds, bp.llr, osd_method="osd_e",
+                           osd_order=order, backend="pallas",
+                           interpret=True)
+        np.testing.assert_array_equal(np.asarray(fused.osd0),
+                                      np.asarray(ref.osd0))
+        np.testing.assert_array_equal(np.asarray(fused.osdw),
+                                      np.asarray(ref.osdw))
+
+
+def test_osd_e_pallas_skip_and_ml_exact():
+    """Fused osd_e at full order k is maximum likelihood; skip rows are
+    bypassed without corrupting live rows."""
+    from bp_osd_tpu.codes import hamming_code
+    from bp_osd_tpu.decoder import TannerGraph, llr_from_channel
+    from bp_osd_tpu.ops.pallas_osd import osd_e_pallas
+
+    H = np.asarray(hamming_code(3).toarray(), np.uint8)
+    g = TannerGraph(H)
+    n = g.n
+    B = 16
+    rng = np.random.default_rng(5)
+    errors = (rng.random((B, n)) < 0.15).astype(np.uint8)
+    synds = (errors @ H.T) % 2
+    llr = rng.normal(size=(B, n)).astype(np.float32)
+    perm = np.argsort(llr, axis=1, kind="stable").astype(np.int32)
+    skip = np.zeros(B, np.int32)
+    skip[B // 2 :] = 1
+
+    k = n - g.rank
+    e0, ew = osd_e_pallas(g, perm, synds, osd_order=k, skip=skip,
+                          interpret=True)
+    ew = np.asarray(ew)[: B // 2]
+    # every live decoding satisfies its syndrome
+    assert np.array_equal((ew @ H.T) % 2, synds[: B // 2])
+    # full-order osd_e is ML: no syndrome-matching vector is lighter
+    for b in range(B // 2):
+        w = ew[b].sum()
+        for trial in range(1 << n):
+            v = np.array([(trial >> i) & 1 for i in range(n)], np.uint8)
+            if v.sum() < w:
+                assert not np.array_equal((H @ v) % 2, synds[b])
