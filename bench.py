@@ -134,6 +134,46 @@ def main():
 
     batches = [jax.device_put(make_batch(s)) for s in range(DISTINCT)]
 
+    # ---- on-hardware Pallas == XLA assertion (every session) ------------
+    # The exact failure class of the r2 bf16 T-column bug was an
+    # interpret-vs-hardware divergence the CPU test suite cannot see; this
+    # re-proves the compiled kernels against the XLA path on the real chip
+    # before any number is reported.  Skip with BENCH_SKIP_CHECK=1.
+    if on_tpu and not os.environ.get("BENCH_SKIP_CHECK"):
+        print("bench: pallas==xla on-chip check...", file=sys.stderr,
+              flush=True)
+        Bc = 256
+        synd_c = jax.device_put(np.asarray(make_batch(977))[:Bc])
+        llr_c = llr0[:Bc]
+        pl_fn = jax.jit(lambda g, s, l, c, o: decode_pipeline(
+            g, s, l, bp_method="minimum_sum", max_iter=MAX_ITER,
+            ms_scaling_factor=0.0, osd_method="osd_cs",
+            osd_order=OSD_ORDER, consts=c, backend="pallas",
+            bp_operators=o, stage1_iters=STAGE1))
+        xla_fn = jax.jit(lambda g, s, l: decode_pipeline(
+            g, s, l, bp_method="minimum_sum", max_iter=MAX_ITER,
+            ms_scaling_factor=0.0, osd_method="osd_cs",
+            osd_order=OSD_ORDER, consts=None, backend="xla"))
+        pres = pl_fn(graph_dev, synd_c, llr_c, consts, bp_ops)
+        xres = xla_fn(graph_dev, synd_c, llr_c)
+        po, xo = np.asarray(pres.osdw), np.asarray(xres.osdw)
+        sh = np.asarray(synd_c)
+        assert np.array_equal(np.asarray(pres.converged),
+                              np.asarray(xres.converged)), \
+            "pallas/xla convergence mismatch on hardware"
+        assert np.array_equal(np.asarray(pres.iterations),
+                              np.asarray(xres.iterations)), \
+            "pallas/xla iteration-count mismatch on hardware"
+        assert ((po @ H.T % 2) == sh).all(), \
+            "pallas osdw violates syndromes on hardware"
+        eq = (po == xo).all(axis=1).mean()
+        # float accumulation order (grouped partial sums) can flip
+        # reliability near-ties on non-converged rows; wholesale
+        # divergence means a real kernel bug
+        assert eq >= 0.97, f"pallas/xla osdw row agreement {eq:.3f} < 0.97"
+        print(f"bench: on-chip check OK (osdw row agreement {eq:.3f})",
+              file=sys.stderr, flush=True)
+
     print("bench: compiling...", file=sys.stderr, flush=True)
     w, conv, iters = jitted(graph_dev, batches[0], llr0, consts, bp_ops)
     w.block_until_ready()

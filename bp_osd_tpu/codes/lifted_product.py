@@ -127,6 +127,11 @@ class lifted_hgp(css_code):
             for row in hz_proto
         ]
 
+        # kept for the structure-aware decoder (decoder/lifted_bp.py):
+        # the binary hx/hz are exactly the lifts of these protographs
+        self.hx_proto = hx_proto_conj
+        self.hz_proto = hz_proto_conj
+
         hx = protograph_to_binary(hx_proto_conj, L)
         hz = protograph_to_binary(hz_proto_conj, L)
         super().__init__(hx, hz)
