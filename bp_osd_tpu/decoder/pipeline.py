@@ -134,6 +134,13 @@ def decode_pipeline(
         osdw = osd.osdw[inv]
         osd0 = osd.osd0[inv]
     else:
+        # NOTE (documented asymmetry): the XLA path runs straight
+        # ``max_iter`` BP with per-sample freeze but no stage-1/resume
+        # split — XLA's while_loop already early-exits when the WHOLE
+        # batch converges, and without Pallas block granularity there is
+        # no per-block skip to exploit, so staging would only add a
+        # second compile of the same program.  TPU (the target) always
+        # takes the staged Pallas branch above.
         bp = bp_decode(
             graph, synd, llr0, bp_method=bp_method, max_iter=int(max_iter),
             ms_scaling_factor=ms_scaling_factor,
