@@ -70,12 +70,34 @@ class BpDecoder:
         error_channel=None,
         input_vector_type: str = "syndrome",
         schedule: str = "parallel",
+        proto=None,
+        lift: int | None = None,
         **unused,
     ):
         if sp.issparse(parity_check_matrix):
             H = parity_check_matrix.toarray()
         else:
             H = np.asarray(parity_check_matrix)
+        # structure-aware BP for protograph-lifted codes: pass the
+        # protograph (e.g. lifted_hgp().hx_proto) and lift size to route
+        # messages by static cyclic shifts instead of generic gathers /
+        # one-hot operators — essential at n ~ 10^4 (decoder/lifted_bp.py)
+        self._lifted_graph = None
+        if proto is not None:
+            if lift is None:
+                raise ValueError("proto requires lift")
+            if schedule != "parallel":
+                raise ValueError("lifted decoding supports only the "
+                                 "parallel schedule")
+            from .lifted_bp import LiftedGraph
+
+            lg = LiftedGraph(proto, int(lift))
+            if (lg.m, lg.n) != H.shape:
+                raise ValueError(
+                    f"protograph lift is {lg.m}x{lg.n} but H is "
+                    f"{H.shape[0]}x{H.shape[1]}"
+                )
+            self._lifted_graph = lg
         if schedule in ("serial", "layered"):
             from .layered import LayeredTannerGraph
 
@@ -143,6 +165,17 @@ class BpDecoder:
         if key not in self._jit_cache:
 
             def fn(graph, syndromes, llr0):
+                if self._lifted_graph is not None:
+                    from .lifted_bp import bp_decode_lifted
+
+                    return bp_decode_lifted(
+                        self._lifted_graph,
+                        syndromes,
+                        llr0,
+                        bp_method=self.bp_method,
+                        max_iter=self.max_iter,
+                        ms_scaling_factor=self.ms_scaling_factor,
+                    )
                 if self.schedule == "layered":
                     from .layered import bp_decode_layered
 
@@ -230,6 +263,8 @@ class BpOsdDecoder(BpDecoder):
         osd_order: int = 0,
         backend: str = "xla",
         input_vector_type: str = "syndrome",
+        proto=None,
+        lift: int | None = None,
         **unused,
     ):
         super().__init__(
@@ -241,6 +276,8 @@ class BpOsdDecoder(BpDecoder):
             channel_probs=channel_probs,
             error_channel=error_channel,
             input_vector_type=input_vector_type,
+            proto=proto,
+            lift=lift,
         )
         self.osd_method = normalize_osd_method(osd_method)
         self.osd_order = int(osd_order)
@@ -266,7 +303,18 @@ class BpOsdDecoder(BpDecoder):
         if key not in self._jit_cache:
 
             def fn(graph, osd_graph, syndromes, llr0, osd_consts, bp_ops):
-                if self.backend == "pallas":
+                if self._lifted_graph is not None:
+                    from .lifted_bp import bp_decode_lifted
+
+                    bp = bp_decode_lifted(
+                        self._lifted_graph,
+                        syndromes,
+                        llr0,
+                        bp_method=self.bp_method,
+                        max_iter=self.max_iter,
+                        ms_scaling_factor=self.ms_scaling_factor,
+                    )
+                elif self.backend == "pallas":
                     from ..ops.pallas_bp import bp_decode_pallas
 
                     hard, llr, conv, iters = bp_decode_pallas(

@@ -73,8 +73,13 @@ def _permuted_packed_h(graph, perm, W, m_pad, n_pad):
     )  # [m, W]
     bits = (hp[:, :, None] >> jnp.arange(32, dtype=jnp.int32)) & 1
     Hd = bits.reshape(m, W * 32)[:, :n]  # [m, n]
-    Hf = jnp.zeros((m_pad, n_pad), jnp.float32).at[:m, :n].set(
-        Hd.astype(jnp.float32)
+    # bf16 operands are EXACT here: every M8 entry is a single power of
+    # two (each column appears at exactly one permuted position, so at
+    # most one j-term is nonzero per entry) and H entries are 0/1; the
+    # matmul accumulates in f32.  bf16 halves the build's memory traffic
+    # and doubles the MXU rate vs the f32 formulation.
+    Hf = jnp.zeros((m_pad, n_pad), jnp.bfloat16).at[:m, :n].set(
+        Hd.astype(jnp.bfloat16)
     )
     c_iota = jnp.arange(n_pad, dtype=jnp.int32)
 
@@ -84,9 +89,9 @@ def _permuted_packed_h(graph, perm, W, m_pad, n_pad):
     pg = jnp.transpose(pgm.reshape(B, K2, 16), (1, 0, 2))  # [K2, B, 16]
     # NOTE: pad positions point at column n_pad-1; Hf columns >= n are
     # zero, so they contribute nothing.
-    M8 = jnp.zeros((K2, B, n_pad), jnp.float32)
+    M8 = jnp.zeros((K2, B, n_pad), jnp.bfloat16)
     for j in range(16):
-        M8 = M8 + (pg[:, :, j, None] == c_iota) * np.float32(1 << j)
+        M8 = M8 + (pg[:, :, j, None] == c_iota) * jnp.bfloat16(1 << j)
 
     flat = M8.reshape(K2 * B, n_pad)
     out = jnp.dot(Hf, flat.T, preferred_element_type=jnp.float32)

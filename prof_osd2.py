@@ -16,7 +16,7 @@ def main():
     from bp_osd_tpu.codes import hgp, mkmn_16_4_6
     from bp_osd_tpu.decoder import TannerGraph
     from bp_osd_tpu.ops.pallas_osd import (
-        _osd_cs_impl, _permuted_packed_h, _round_up, osd_cs_pallas)
+        _osd_impl, _permuted_packed_h, _round_up, osd_cs_pallas)
 
     qcode = hgp(mkmn_16_4_6())
     graph = TannerGraph(qcode.hx.toarray())
@@ -67,7 +67,7 @@ def main():
     perm_ws = [jax.jit(pwf)(p) for p in perms]
     kw = dict(n=n, m=m, W=W, r=r, lam=lam, lam_pad=_round_up(lam, 8),
               lamw=-(-lam // 32), block=128)
-    ker = jax.jit(lambda h, s, sk, pw2: _osd_cs_impl(h, s, sk, pw2, **kw))
+    ker = jax.jit(lambda h, s, sk, pw2: _osd_impl(h, s, sk, pw2, mode="cs", **kw))
     o = ker(hts[0], synd_ts[0], skip_t, perm_ws[0]); o[0].block_until_ready()
     t0 = time.perf_counter()
     for i in range(STEPS):
