@@ -60,7 +60,7 @@ P = 0.05
 MAX_ITER = 400  # reference max_iter=0 -> N
 STAGE1 = 48
 OSD_ORDER = 42
-B = 8192  # syndromes per dispatch
+B = 16384  # syndromes per dispatch
 STEPS = 24  # timed dispatches, distinct batches (cycled)
 DISTINCT = 8  # distinct random batches
 
