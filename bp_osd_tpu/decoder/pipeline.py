@@ -85,41 +85,51 @@ def decode_pipeline(
         kw = dict(bp_method=bp_method, ms_scaling_factor=ms_scaling_factor,
                   block=bp_block, interpret=interpret,
                   msg_dtype=bp_msg_dtype)
-        s1 = min(int(stage1_iters), int(max_iter))
-        two_stage = max_iter > s1
+        # stage schedule: stage1_iters is an int (two-stage) or a tuple of
+        # increasing caps (multi-stage); every boundary re-clusters the
+        # remaining failures and RESUMES their v2c message state, so each
+        # stage concentrates never-converging samples into fewer Pallas
+        # blocks at zero re-decode cost.  BP is deterministic and the
+        # adaptive scale depends only on the global iteration number, so
+        # the chained trajectory is identical to a straight max_iter run.
+        if isinstance(stage1_iters, (tuple, list)):
+            caps = [int(s) for s in stage1_iters if int(s) < int(max_iter)]
+        else:
+            caps = [min(int(stage1_iters), int(max_iter))]
+        caps = sorted(set(caps)) or [int(max_iter)]
+
         out1 = bp_decode_pallas(
-            graph, bp_operators, synd, llr0, max_iter=s1,
-            emit_state=two_stage, **kw
+            graph, bp_operators, synd, llr0, max_iter=caps[0],
+            emit_state=caps[0] < max_iter, **kw
         )
         hard, llr, conv, iters = out1[:4]
-        if two_stage:
-            # stage 2: RESUME the stage-1 message state at iteration s1+1
-            # on the failures only, clustered failures-first so whole
-            # converged blocks skip instantly.  BP is deterministic and the
-            # adaptive scale depends only on the global iteration number,
-            # so the resumed trajectory is identical to a straight
-            # max_iter run — at zero re-decode cost (the v2c state makes
-            # one HBM round trip instead).
-            v2c = out1[4]
+        s_prev = caps[0]
+        v2c = out1[4] if caps[0] < max_iter else None
+        for s_next in caps[1:] + [int(max_iter)]:
+            if s_prev >= max_iter:
+                break
             order = jnp.argsort(conv.astype(jnp.int32), stable=True)
-            # inverse permutation by scatter: O(B) vs a second O(B log^2 B)
-            # sort network
+            # inverse permutation by scatter: O(B) vs a second
+            # O(B log^2 B) sort network
             inv = jnp.zeros((B,), jnp.int32).at[order].set(
                 jnp.arange(B, dtype=jnp.int32)
             )
-            h2, l2, c2, i2 = bp_decode_pallas(
+            emit = s_next < max_iter
+            out2 = bp_decode_pallas(
                 graph, bp_operators, synd[order], llr0[order],
-                max_iter=int(max_iter), skip=conv[order],
-                v2c_init=v2c[order], it0=s1, **kw
+                max_iter=int(s_next), skip=conv[order],
+                v2c_init=v2c[order], it0=s_prev, emit_state=emit, **kw
             )
-            # every stage-1 failure resumed to the full max_iter: take its
-            # stage-2 state wholesale (converged or not) so hard/llr/iters
-            # are identical to a straight max_iter run
+            h2, l2, c2, i2 = out2[:4]
+            # every resumed failure ran to exactly s_next total
+            # iterations: take its state wholesale (converged or not)
             upd = ~conv
             hard = jnp.where(upd[:, None], h2[inv], hard)
             llr = jnp.where(upd[:, None], l2[inv], llr)
             iters = jnp.where(upd, i2[inv], iters)
             conv = conv | c2[inv]
+            v2c = out2[4][inv] if emit else None
+            s_prev = s_next
         bp = BPResult(hard=hard, llr=llr, converged=conv, iterations=iters)
 
         order = jnp.argsort(bp.converged.astype(jnp.int32), stable=True)

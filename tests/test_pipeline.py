@@ -73,3 +73,39 @@ def test_pipeline_staged_pallas_matches_straight_run():
                                   np.asarray(straight.osd0))
     np.testing.assert_array_equal(np.asarray(staged.bp_hard),
                                   np.asarray(straight.bp_hard))
+
+
+def test_multi_stage_schedule_matches_single_stage():
+    """A (4, 8) stage schedule must produce bit-identical results to the
+    plain two-stage pipeline (resume exactness across re-clusterings)."""
+    import numpy as np
+
+    from bp_osd_tpu.codes import hgp, rep_code
+    from bp_osd_tpu.decoder import TannerGraph, llr_from_channel
+    from bp_osd_tpu.decoder.osd import build_osd_consts
+    from bp_osd_tpu.decoder.pipeline import decode_pipeline
+    from bp_osd_tpu.ops.pallas_bp import build_bp_operators
+
+    H = np.asarray(hgp(rep_code(3), rep_code(3)).hx.toarray(), np.uint8)
+    graph = TannerGraph(H)
+    ops = build_bp_operators(graph)
+    consts = build_osd_consts(graph, "osd_cs", 4)
+    B = 32
+    rng = np.random.default_rng(19)
+    errors = (rng.random((B, graph.n)) < 0.08).astype(np.uint8)
+    synd = (errors @ H.T % 2).astype(np.uint8)
+    llr0 = np.asarray(llr_from_channel(np.full(graph.n, 0.08)))
+
+    kw = dict(bp_method="ms", max_iter=16, ms_scaling_factor=0.0,
+              osd_method="osd_cs", osd_order=4, consts=consts,
+              backend="pallas", bp_operators=ops, interpret=True)
+    multi = decode_pipeline(graph, synd, llr0, stage1_iters=(4, 8), **kw)
+    single = decode_pipeline(graph, synd, llr0, stage1_iters=4, **kw)
+    np.testing.assert_array_equal(np.asarray(multi.converged),
+                                  np.asarray(single.converged))
+    np.testing.assert_array_equal(np.asarray(multi.iterations),
+                                  np.asarray(single.iterations))
+    np.testing.assert_array_equal(np.asarray(multi.osdw),
+                                  np.asarray(single.osdw))
+    np.testing.assert_array_equal(np.asarray(multi.bp_hard),
+                                  np.asarray(single.bp_hard))

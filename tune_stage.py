@@ -13,7 +13,7 @@ import numpy as np
 P = 0.05
 MAX_ITER = 400
 OSD_ORDER = 42
-B = 8192
+B = 16384
 STEPS = 12
 DISTINCT = 6
 
@@ -50,8 +50,8 @@ def main():
 
     batches = [jax.device_put(make_batch(s)) for s in range(DISTINCT)]
 
-    for s1 in (16, 24, 32, 48, 64):
-        for blk in (128, 256):
+    for s1 in (48, (48, 128), (48, 160), (32, 96), (48, 96, 192)):
+        for blk in (128,):
             fn = jax.jit(lambda g, s, l, c, o, s1=s1, blk=blk: jnp.sum(
                 decode_pipeline(
                     g, s, l, bp_method="minimum_sum", max_iter=MAX_ITER,
