@@ -6,13 +6,17 @@ round-2 1x5-circulant workload never converged, so it benchmarked the
 all-samples-through-OSD worst case rather than realistic decode
 throughput.  OSD runs skip-clustered on the non-converged tail only.
 
-Large-code elimination strategy: at n = 10^4 the per-sample packed matrix
-is ~6 MB (W = 313 words x 4864 rows) and cannot be VMEM-resident, so the
-fused Pallas OSD does not apply; the skip-clustered XLA elimination keeps
-``h_work [B_tail, m, W]`` in HBM and streams each step's column select +
-row update through XLA fusions (``decoder/osd.py:_eliminate``), touching
-only the failure tail.  Correctness of that path at CPU-tractable lift is
-covered by ``tests/test_large_code.py``.
+Large-code elimination strategy (round 4): at n = 10^4 the per-sample
+packed matrix is ~6 MB (W = 313 words x 4864 rows), too big for the fused
+batch-on-lanes Pallas OSD — but small enough for ONE sample's matrix to
+sit in VMEM.  The failure tail therefore runs through the per-sample
+streamed kernel (``ops/pallas_osd_large.py``): one grid step per sample,
+the whole elimination + combination sweep VMEM-resident, compact lane-
+vector outputs.  This replaced the round-3 XLA elimination that streamed
+``[bucket, m, W]`` through HBM on every column step (~1.4 TB / 7.3 s per
+16-bucket — the 68.6 synd/s wall of BASELINE.md row 5).  Correctness at
+CPU-tractable size is pinned by ``tests/test_osd_large.py``; this script
+re-checks kernel-vs-XLA agreement on hardware before timing.
 
 Single-chip BP runs the structure-aware shift-routed path
 (``decoder/lifted_bp.py``): lifted-product routing is static cyclic
@@ -79,24 +83,30 @@ def main():
                         (B, n)).copy()
     )
 
+    on_tpu = jax.devices()[0].platform != "cpu"
+    osd_backend = "pallas" if on_tpu else "xla"
+
     def bp_step(synd, llr0):
         bp = bp_decode_lifted(lgraph, synd, llr0, bp_method="minimum_sum",
                               max_iter=MAX_ITER, ms_scaling_factor=0.625)
         return bp.hard, bp.llr, bp.converged
 
-    def osd_step(graph_arg, synd, llr, osd_consts):
+    def osd_step(graph_arg, synd, llr, skip, osd_consts):
         osd = osd_decode(graph_arg, synd, llr, osd_method="osd_cs",
-                         osd_order=OSD_ORDER, consts=osd_consts)
+                         osd_order=OSD_ORDER, consts=osd_consts,
+                         backend=osd_backend, skip=skip)
         return osd.osdw
 
     bp_jit = jax.jit(bp_step)
     osd_jit = jax.jit(
-        lambda g, synd, llr, idx, c: osd_step(
-            g, jnp.take(synd, idx, axis=0), jnp.take(llr, idx, axis=0), c
+        lambda g, synd, llr, idx, skip, c: osd_step(
+            g, jnp.take(synd, idx, axis=0), jnp.take(llr, idx, axis=0),
+            skip, c
         )
     )
     wsum_jit = jax.jit(lambda h: jnp.sum(h.astype(jnp.int32), axis=1))
-    OSD_BUCKET = 16  # static failure-bucket size (pad/chunk to this)
+    OSD_BUCKET = 8  # static failure-bucket size (pad/chunk to this; pads
+    # carry skip=1 so the per-sample kernel exits their grid steps)
 
     def run_batches(batch_list):
         """Decode a list of syndrome batches: BP dispatches are PIPELINED
@@ -120,7 +130,10 @@ def main():
                 pad = OSD_BUCKET - idx.size
                 take = (np.concatenate([idx, np.zeros(pad, np.int64)])
                         if pad else idx)
-                ow = osd_jit(graph, sd, llr, jnp.asarray(take), consts)
+                skip = np.zeros(OSD_BUCKET, np.int32)
+                skip[idx.size:] = 1
+                ow = osd_jit(graph, sd, llr, jnp.asarray(take),
+                             jnp.asarray(skip), consts)
                 weights[idx] = np.asarray(wsum_jit(ow))[: idx.size]
             results.append(weights)
         return results, nconv
@@ -132,6 +145,38 @@ def main():
 
     batches_np = [make_batch(s) for s in range(STEPS)]
     batches = [jax.device_put(b) for b in batches_np]
+
+    # ---- on-hardware kernel gate (round-4) ------------------------------
+    # The streamed per-sample kernel's full osd_cs semantics are pinned
+    # bit-for-bit in interpret mode (tests/test_osd_large.py); on hardware,
+    # check (a) the elimination+emission against the XLA path via osd0 on
+    # two samples (the full osd_cs XLA reference at n = 10^4 costs minutes
+    # in the T-column extraction, so it is not usable as an on-chip
+    # oracle), and (b) that the osd_cs output is a syndrome-satisfying
+    # decoding no heavier than osd0.  Skip with BENCH_SKIP_CHECK=1.
+    if on_tpu and not os.environ.get("BENCH_SKIP_CHECK"):
+        print("bench_large: on-chip kernel gate...", file=sys.stderr,
+              flush=True)
+        synd_c = batches[0][:2]
+        llr_c = llr0[:2]
+        o_ref = jax.jit(lambda g, s, l, c: osd_decode(
+            g, s, l, osd_method="osd0", osd_order=0, consts=c).osd0)(
+                graph, synd_c, llr_c, consts)
+        o_pal = jax.jit(lambda g, s, l, c: osd_decode(
+            g, s, l, osd_method="osd0", osd_order=0, consts=c,
+            backend="pallas").osd0)(graph, synd_c, llr_c, consts)
+        assert np.array_equal(np.asarray(o_pal), np.asarray(o_ref)), \
+            "large-kernel osd0 != XLA osd0 on hardware"
+        cs = jax.jit(lambda g, s, l, c: osd_decode(
+            g, s, l, osd_method="osd_cs", osd_order=OSD_ORDER, consts=c,
+            backend="pallas").osdw)(graph, synd_c, llr_c, consts)
+        cs_h = np.asarray(cs)
+        assert ((cs_h @ H.T % 2) == np.asarray(synd_c)).all(), \
+            "large-kernel osd_cs violates syndromes on hardware"
+        assert (cs_h.sum(1) <= np.asarray(o_ref).sum(1)).all(), \
+            "large-kernel osd_cs heavier than osd0 on hardware"
+        print("bench_large: on-chip gate OK", file=sys.stderr, flush=True)
+
     print("bench_large: compiling...", file=sys.stderr, flush=True)
     w, c = run_batches(batches[:1])
     print("bench_large: timing...", file=sys.stderr, flush=True)

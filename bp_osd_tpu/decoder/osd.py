@@ -417,19 +417,35 @@ def osd_decode(
     llr = jnp.asarray(llr, jnp.float32)
     perm = jnp.argsort(llr, axis=1, stable=True).astype(jnp.int32)  # [B, n]
 
-    if backend == "pallas" and method == "osd_cs" and osd_order > 0 and n > r:
-        # fully fused path: elimination + combination sweep in one VMEM-
-        # resident kernel; the reduced matrix never touches HBM
-        from ..ops.pallas_osd import osd_cs_pallas
+    if backend == "pallas":
+        # the fused batch-on-lanes kernels keep two [W, m_pad, block]
+        # matrix copies VMEM-resident; beyond their budget (lifted-product
+        # scale) route to the per-sample streamed large-code kernel
+        # instead of failing at Mosaic compile time (round-3 ADVICE 2)
+        from ..ops.pallas_osd import fused_osd_fits
 
-        e0, e_w = osd_cs_pallas(
-            graph, perm, synd, osd_order=osd_order, skip=skip,
-            interpret=interpret,
-        )
+        fused_ok = fused_osd_fits(graph)
+    if backend == "pallas" and method == "osd_cs" and osd_order > 0 and n > r:
+        if fused_ok:
+            # fully fused path: elimination + combination sweep in one
+            # VMEM-resident kernel; the reduced matrix never touches HBM
+            from ..ops.pallas_osd import osd_cs_pallas
+
+            e0, e_w = osd_cs_pallas(
+                graph, perm, synd, osd_order=osd_order, skip=skip,
+                interpret=interpret,
+            )
+        else:
+            from ..ops.pallas_osd_large import osd_cs_large_pallas
+
+            e0, e_w = osd_cs_large_pallas(
+                graph, perm, synd, osd_order=osd_order, skip=skip,
+                interpret=interpret,
+            )
         return OsdResult(osd0=e0.astype(jnp.uint8), osdw=e_w.astype(jnp.uint8))
 
     if (backend == "pallas" and method == "osd_e" and 0 < osd_order
-            and min(osd_order, n - r) <= 12 and n > r):
+            and min(osd_order, n - r) <= 12 and n > r and fused_ok):
         # fused exhaustive search: Gray-code enumeration of the 2^order
         # patterns, one packed-column XOR per candidate, never leaving VMEM
         from ..ops.pallas_osd import osd_e_pallas
@@ -440,12 +456,29 @@ def osd_decode(
         )
         return OsdResult(osd0=e0.astype(jnp.uint8), osdw=e_w.astype(jnp.uint8))
 
-    if backend == "pallas":
-        from ..ops.pallas_gf2 import eliminate_pallas
+    if backend == "pallas" and method == "osd0" and not fused_ok:
+        # large-code osd0: the same streamed kernel with an empty sweep
+        from ..ops.pallas_osd_large import osd_cs_large_pallas
 
-        h_work, s_work, pivot_ids, pivot_rows, pivot_mask = eliminate_pallas(
-            graph, perm, synd, skip=skip, interpret=interpret
+        e0, e_w = osd_cs_large_pallas(
+            graph, perm, synd, osd_order=0, skip=skip, interpret=interpret,
         )
+        return OsdResult(osd0=e0.astype(jnp.uint8), osdw=e_w.astype(jnp.uint8))
+
+    if backend == "pallas":
+        from ..ops.pallas_gf2 import eliminate_fits, eliminate_pallas
+
+        if not eliminate_fits(graph):
+            # batch-on-lanes blocks cannot shrink below 128 samples; at
+            # that size large codes exceed VMEM -> XLA elimination
+            h_work, s_work, pivot_ids, pivot_rows, pivot_mask = _eliminate(
+                graph, perm, synd, skip=skip
+            )
+        else:
+            h_work, s_work, pivot_ids, pivot_rows, pivot_mask = (
+                eliminate_pallas(graph, perm, synd, skip=skip,
+                                 interpret=interpret)
+            )
     else:
         h_work, s_work, pivot_ids, pivot_rows, pivot_mask = _eliminate(
             graph, perm, synd, skip=skip

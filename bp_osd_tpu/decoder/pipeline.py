@@ -35,7 +35,7 @@ from .bp import BPResult, bp_decode
 from .osd import OsdConsts, osd_decode
 from .tanner import TannerGraph
 
-__all__ = ["BpOsdBatch", "decode_pipeline"]
+__all__ = ["BpOsdBatch", "auto_stage_schedule", "decode_pipeline"]
 
 
 class BpOsdBatch(NamedTuple):
@@ -44,6 +44,21 @@ class BpOsdBatch(NamedTuple):
     bp_hard: jnp.ndarray  # [B, n] uint8 BP hard decision at freeze point
     converged: jnp.ndarray  # [B] bool BP convergence
     iterations: jnp.ndarray  # [B] int32
+    llr: jnp.ndarray = None  # [B, n] float32 BP soft output (posterior LLRs)
+
+
+def auto_stage_schedule(max_iter: int) -> tuple[int, ...]:
+    """Derive a multi-stage BP resume schedule from the iteration cap.
+
+    The stage caps follow the on-chip-tuned flagship point — ``(32, 96)``
+    for ``max_iter = 400`` (``bench.py``) — scaled as ``max_iter/12`` and
+    ``max_iter/4`` and floored to multiples of 8 (Pallas sublane tiling).
+    ``decode_pipeline`` drops caps >= ``max_iter``, so short runs degrade
+    gracefully to fewer stages.
+    """
+    mi = int(max_iter)
+    caps = sorted({max(8, mi // 12 // 8 * 8), max(16, mi // 4 // 8 * 8)})
+    return tuple(c for c in caps if c < mi) or (mi,)
 
 
 def decode_pipeline(
@@ -166,5 +181,5 @@ def decode_pipeline(
     osd0 = jnp.where(keep, bp.hard, osd0).astype(jnp.uint8)
     return BpOsdBatch(
         osdw=osdw, osd0=osd0, bp_hard=bp.hard,
-        converged=bp.converged, iterations=bp.iterations,
+        converged=bp.converged, iterations=bp.iterations, llr=bp.llr,
     )

@@ -32,11 +32,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["eliminate_pallas"]
+__all__ = ["eliminate_fits", "eliminate_pallas"]
 
 
 def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
+
+
+def _bytes_per_sample(graph) -> int:
+    """Resident VMEM bytes per sample (matrix in + out + carries, double-
+    buffered by Mosaic) — shared by the block-size loop and the fit gate."""
+    m, n, W, r = graph.m, graph.n, graph.num_words, graph.rank
+    m_pad = _round_up(m, 128)
+    return 4 * 2 * (2 * W * m_pad + 3 * m_pad + 3 * n + 2 * r)
+
+
+def eliminate_fits(graph, budget: int = 12 * 1024 * 1024) -> bool:
+    """Whether the batch-on-lanes kernel fits VMEM at its minimum block
+    (128 lanes).  Lifted-product-scale codes do not; callers fall back to
+    the XLA elimination or the per-sample large-code kernel."""
+    return 128 * _bytes_per_sample(graph) <= budget
 
 
 def _elim_kernel(perm_ref, synd_ref, skip_ref, h_ref,
@@ -230,7 +245,7 @@ def eliminate_pallas(graph, perm, synd, *, skip=None, block: int = 256,
     # fit the block into the ~16 MiB scoped-VMEM budget: the kernel keeps
     # the packed matrix in AND out plus all carries resident per sample,
     # and Mosaic double-buffers the grid blocks
-    bytes_per_sample = 4 * 2 * (2 * W * m_pad + 3 * m_pad + 3 * n + 2 * r)
+    bytes_per_sample = _bytes_per_sample(graph)
     budget = 12 * 1024 * 1024
     while block > 128 and block * bytes_per_sample > budget:
         block //= 2

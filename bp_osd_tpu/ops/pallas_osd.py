@@ -46,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["osd_cs_pallas", "osd_e_pallas"]
+__all__ = ["fused_osd_fits", "osd_cs_pallas", "osd_e_pallas"]
 
 # python int: a module-level jnp scalar would become a captured constant
 # inside the kernel trace, which pallas_call rejects
@@ -55,6 +55,29 @@ _BIGKEY = 1 << 28
 
 def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
+
+
+def fused_osd_fits(graph, block: int = 128,
+                   budget: int = 13 * 1024 * 1024) -> bool:
+    """Whether the fused osd kernels' VMEM footprint fits at ``block``.
+
+    The kernel keeps, per grid step: the per-sample permuted packed matrix
+    block IN (``[W, m_pad, block]``, double-buffered by Mosaic) plus a
+    same-shape reduced-matrix scratch, the pivot-mask scratch, and the
+    small synd/skip/pw/e0/ew blocks.  At lifted-product scale (e.g.
+    ``W = 313, m_pad = 4864``) one matrix copy alone is ~780 MB at
+    ``block = 128`` and Mosaic fails at compile time — callers must route
+    such codes to the streamed large-code path instead
+    (round-3 ADVICE item 2).
+    """
+    m_pad = _round_up(graph.m, 128)
+    n_sub = _round_up(graph.n, 8)
+    W = graph.num_words
+    resident = (
+        2 * (W * m_pad + m_pad + 8 + 32 * W + 2 * n_sub)  # dbl-buffered io
+        + W * m_pad + 8 * W                               # scratch
+    )
+    return 4 * block * resident <= budget
 
 
 def _permuted_packed_h(graph, perm, W, m_pad, n_pad):
@@ -87,8 +110,15 @@ def _permuted_packed_h(graph, perm, W, m_pad, n_pad):
     # pg[k2, b, j] = perm[b, 16*k2 + j]
     pgm = jnp.pad(perm, ((0, 0), (0, 32 * W - n)), constant_values=n_pad - 1)
     pg = jnp.transpose(pgm.reshape(B, K2, 16), (1, 0, 2))  # [K2, B, 16]
-    # NOTE: pad positions point at column n_pad-1; Hf columns >= n are
-    # zero, so they contribute nothing.
+    # Pad positions all alias column n_pad-1, so that M8 entry accumulates
+    # a SUM of powers of two, which bf16 (8-bit mantissa) cannot represent
+    # exactly.  This is harmless only because the aliased Hf column is
+    # all-zero: pads exist iff 32*W > n, and then n_pad > n too, so column
+    # n_pad-1 >= n multiplies the inexact entries by zeros.
+    assert 32 * W == n or n_pad > n, (
+        "pad positions must alias a zero column of Hf (n_pad > n); "
+        "bf16 M8 pad entries are otherwise inexact"
+    )
     M8 = jnp.zeros((K2, B, n_pad), jnp.bfloat16)
     for j in range(16):
         M8 = M8 + (pg[:, :, j, None] == c_iota) * jnp.bfloat16(1 << j)
