@@ -6,16 +6,23 @@
 // unit is an honest, competently-optimized serial CPU implementation of the
 // SAME decode semantics this framework implements on TPU:
 //
-//   * min-sum BP, parallel (flooding) schedule, adaptive scaling
-//     alpha_t = 1 - 2^-t when ms_scaling_factor == 0
-//     (reference README.md:184: "variable scaling factor method"),
+//   * min-sum BP, parallel (flooding) schedule, with a fixed scaling
+//     factor or the adaptive alpha_t = 1 - 2^-t when
+//     ms_scaling_factor == 0 (reference README.md:184: "variable scaling
+//     factor method"),
+//   * product-sum ("ps") BP via the tanh rule with forward/backward
+//     exclusive products (reference css_decode_sim.py:35),
 //   * per-iteration hard decision + syndrome convergence check,
 //   * OSD post-processing on BP failure: stable sort of columns by soft
 //     reliability, bit-packed Gauss-Jordan elimination in that column
-//     order, osd0 read-off, then the combination-sweep search (osd_cs):
-//     all weight-1 patterns over T plus all weight-2 patterns over the
-//     first `osd_order` T-positions (reference README.md:185-187,
-//     arXiv:2005.07016).
+//     order, osd0 read-off, then either the combination-sweep search
+//     (osd_cs: all weight-1 patterns over T plus all weight-2 patterns
+//     over the first `osd_order` T-positions) or the exhaustive search
+//     (osd_e: all 2^order patterns on the first `order` T-positions in
+//     counting order) — reference README.md:185-187, arXiv:2005.07016,
+//   * received-vector decoding: input is a length-n word, the syndrome is
+//     H w mod 2, and the output is the estimated codeword w XOR e_hat
+//     (the ldpc ctor's input_vector_type boundary, SURVEY.md 2.2 N1).
 //
 // One syndrome per decode() call, single thread — exactly the reference's
 // execution model (reference css_decode_sim.py:519-520 decodes one
@@ -27,8 +34,13 @@
 //   Prints one JSON line {"syndromes_per_sec": ..., ...}.
 //
 //        cpu_baseline <H.txt> <p> --decode <synd.txt> [max_iter] [osd_order]
-//   synd.txt: one syndrome per line as m 0/1 chars.  Prints one decoding
-//   per line as n 0/1 chars (used by tests/test_cpu_baseline.py for
+//                     [bp_method] [ms_scale] [osd_method] [input_type]
+//   synd.txt: one syndrome per line as m 0/1 chars (or one length-n word
+//   per line when input_type == received_vector).  bp_method: ms|ps
+//   (default ms); ms_scale: float, 0 = adaptive (default 0);
+//   osd_method: osd_cs|osd_e|osd0 (default osd_cs); input_type:
+//   syndrome|received_vector (default syndrome).  Prints one decoding per
+//   line as n 0/1 chars (used by tests/test_cpu_baseline.py for
 //   bit-for-bit comparison against the TPU decoder).
 
 #include <cstdint>
@@ -54,6 +66,9 @@ struct Csr {
 struct BpOsd {
     Csr g;
     int max_iter, osd_order;
+    bool prod_sum = false;        // ps (tanh rule) instead of min-sum
+    float ms_scale = 0.0f;        // 0 => adaptive 1 - 2^-t
+    int osd_mode = 0;             // 0 = osd_cs, 1 = osd_e, 2 = osd0
     std::vector<float> llr0;      // [n] channel priors
     std::vector<float> v2c, c2v;  // [E] messages, check-major edge layout
     std::vector<float> total;     // [n] posterior llr
@@ -102,25 +117,54 @@ struct BpOsd {
         for (int i = 0; i < g.m; ++i)
             for (int e = g.chk_ptr[i]; e < g.chk_ptr[i + 1]; ++e)
                 v2c[e] = llr0[g.chk_var[e]];
+        std::vector<float> th, fwd, bwd;  // ps scratch (row-weight sized)
         for (int it = 1; it <= max_iter; ++it) {
-            // check update: scaled min-sum, adaptive alpha = 1 - 2^-it
-            float alpha = 1.0f - std::exp2f(-(float)it);
-            for (int i = 0; i < g.m; ++i) {
-                int lo = g.chk_ptr[i], hi = g.chk_ptr[i + 1];
-                float min1 = 1e30f, min2 = 1e30f;
-                int amin = lo, negs = 0;
-                for (int e = lo; e < hi; ++e) {
-                    float v = v2c[e];
-                    negs += v < 0.0f;
-                    float a = std::fabs(v);
-                    if (a < min1) { min2 = min1; min1 = a; amin = e; }
-                    else if (a < min2) { min2 = a; }
+            if (!prod_sum) {
+                // check update: scaled min-sum; alpha fixed, or the
+                // adaptive 1 - 2^-it when ms_scale == 0
+                float alpha = ms_scale != 0.0f
+                                  ? ms_scale
+                                  : 1.0f - std::exp2f(-(float)it);
+                for (int i = 0; i < g.m; ++i) {
+                    int lo = g.chk_ptr[i], hi = g.chk_ptr[i + 1];
+                    float min1 = 1e30f, min2 = 1e30f;
+                    int amin = lo, negs = 0;
+                    for (int e = lo; e < hi; ++e) {
+                        float v = v2c[e];
+                        negs += v < 0.0f;
+                        float a = std::fabs(v);
+                        if (a < min1) { min2 = min1; min1 = a; amin = e; }
+                        else if (a < min2) { min2 = a; }
+                    }
+                    float base = (synd[i] ? -alpha : alpha);
+                    for (int e = lo; e < hi; ++e) {
+                        int sgn = (negs - (v2c[e] < 0.0f)) & 1;
+                        float mag = (e == amin) ? min2 : min1;
+                        c2v[e] = (sgn ? -base : base) * mag;
+                    }
                 }
-                float base = (synd[i] ? -alpha : alpha);
-                for (int e = lo; e < hi; ++e) {
-                    int sgn = (negs - (v2c[e] < 0.0f)) & 1;
-                    float mag = (e == amin) ? min2 : min1;
-                    c2v[e] = (sgn ? -base : base) * mag;
+            } else {
+                // product-sum (tanh rule) with forward/backward exclusive
+                // products — the same association order as the TPU path
+                // (decoder/bp.py:_check_update_product_sum)
+                for (int i = 0; i < g.m; ++i) {
+                    int lo = g.chk_ptr[i], hi = g.chk_ptr[i + 1];
+                    int w = hi - lo;
+                    th.resize(w); fwd.resize(w); bwd.resize(w);
+                    for (int e = 0; e < w; ++e)
+                        th[e] = std::tanh(0.5f * v2c[lo + e]);
+                    fwd[0] = 1.0f;
+                    for (int e = 1; e < w; ++e) fwd[e] = fwd[e - 1] * th[e - 1];
+                    bwd[w - 1] = 1.0f;
+                    for (int e = w - 2; e >= 0; --e)
+                        bwd[e] = bwd[e + 1] * th[e + 1];
+                    float syn_sign = synd[i] ? -1.0f : 1.0f;
+                    const float clipv = 1.0f - 1e-7f;  // bp.py:_TANH_CLIP
+                    for (int e = 0; e < w; ++e) {
+                        float ex = syn_sign * fwd[e] * bwd[e];
+                        ex = std::fmax(-clipv, std::fmin(clipv, ex));
+                        c2v[lo + e] = 2.0f * std::atanh(ex);
+                    }
                 }
             }
             // variable update + hard decision
@@ -192,7 +236,7 @@ struct BpOsd {
         // osd0: e[pivot_col[i]] = reduced syndrome at pivot row i
         std::fill(osd0.begin(), osd0.end(), 0);
         for (int i = 0; i < r; ++i) osd0[pivot_col[i]] = swork[pivot_row[i]];
-        if (osd_order == 0 || k == 0) { osdw = osd0; return; }
+        if (osd_mode == 2 || osd_order == 0 || k == 0) { osdw = osd0; return; }
 
         // pack reduced syndrome and reduced T-columns along the pivot axis
         int Wr = (r + 63) / 64;
@@ -214,6 +258,37 @@ struct BpOsd {
             return s;
         };
         std::vector<uint64_t> tmp(Wr);
+        int lam = std::min(osd_order, k);
+        if (osd_mode == 1) {
+            // osd_e: exhaustive over all 2^lam patterns on the first lam
+            // T-positions, counting order, FIRST minimum wins ties — the
+            // same candidate order as decoder/osd.py:_search_osd_e
+            uint32_t best_pat = 0;
+            int best_w = popw(spack.data());
+            for (uint32_t pat = 1; pat < (1u << lam); ++pat) {
+                std::memcpy(tmp.data(), spack.data(), Wr * 8);
+                for (int a = 0; a < lam; ++a)
+                    if ((pat >> a) & 1) {
+                        const uint64_t* cc = &tcols_pack[(size_t)a * Wr];
+                        for (int q = 0; q < Wr; ++q) tmp[q] ^= cc[q];
+                    }
+                int s = __builtin_popcount(pat);
+                for (int q = 0; q < Wr; ++q)
+                    s += __builtin_popcountll(tmp[q]);
+                if (s < best_w) { best_w = s; best_pat = pat; }
+            }
+            std::fill(osdw.begin(), osdw.end(), 0);
+            std::memcpy(tmp.data(), spack.data(), Wr * 8);
+            for (int a = 0; a < lam; ++a)
+                if ((best_pat >> a) & 1) {
+                    osdw[t_cols[a]] = 1;
+                    const uint64_t* cc = &tcols_pack[(size_t)a * Wr];
+                    for (int q = 0; q < Wr; ++q) tmp[q] ^= cc[q];
+                }
+            for (int i = 0; i < r; ++i)
+                osdw[pivot_col[i]] = (tmp[i >> 6] >> (i & 63)) & 1;
+            return;
+        }
         // candidate 0: the zero pattern (osd0 itself)
         int best_w = popw(spack.data());
         int best_i = -1, best_j = -1;  // chosen T flips (-1 = none)
@@ -226,7 +301,6 @@ struct BpOsd {
             if (s < best_w) { best_w = s; best_i = c; best_j = -1; }
         }
         // weight-2 sweep over the first `osd_order` T-positions
-        int lam = std::min(osd_order, k);
         for (int a = 0; a < lam; ++a) {
             const uint64_t* ca = &tcols_pack[(size_t)a * Wr];
             for (int b = a + 1; b < lam; ++b) {
@@ -318,22 +392,48 @@ int main(int argc, char** argv) {
     int max_iter = argc > 5 ? std::atoi(argv[5]) : 0;
     int osd_order = argc > 6 ? std::atoi(argv[6]) : 42;
     bool decode_mode = std::strcmp(argv[3], "--decode") == 0;
+    bool prod_sum = false, received = false;
+    float ms_scale = 0.0f;
+    int osd_mode = 0;
     if (!decode_mode) {
         max_iter = argc > 4 ? std::atoi(argv[4]) : 0;
         osd_order = argc > 5 ? std::atoi(argv[5]) : 42;
+    } else {
+        if (argc > 7) prod_sum = std::strcmp(argv[7], "ps") == 0;
+        if (argc > 8) ms_scale = (float)std::atof(argv[8]);
+        if (argc > 9) {
+            if (std::strcmp(argv[9], "osd_e") == 0) osd_mode = 1;
+            else if (std::strcmp(argv[9], "osd0") == 0) osd_mode = 2;
+        }
+        if (argc > 10)
+            received = std::strcmp(argv[10], "received_vector") == 0;
     }
 
     BpOsd dec;
     dec.init(g, p, max_iter, osd_order);
+    dec.prod_sum = prod_sum;
+    dec.ms_scale = ms_scale;
+    dec.osd_mode = osd_mode;
 
     if (decode_mode) {
         FILE* sf = std::fopen(argv[4], "r");
         if (!sf) { std::fprintf(stderr, "cannot open %s\n", argv[4]); return 2; }
-        std::vector<uint8_t> s(m);
+        std::vector<uint8_t> s(m), w(n);
         std::vector<char> out(n + 2);
         char buf[1 << 16];
         while (std::fscanf(sf, "%65535s", buf) == 1) {
-            for (int i = 0; i < m; ++i) s[i] = buf[i] == '1';
+            if (received) {
+                // input is a length-n word: syndrome = H w mod 2
+                for (int j = 0; j < n; ++j) w[j] = buf[j] == '1';
+                for (int i = 0; i < m; ++i) {
+                    int acc = 0;
+                    for (int e = g.chk_ptr[i]; e < g.chk_ptr[i + 1]; ++e)
+                        acc ^= w[g.chk_var[e]];
+                    s[i] = (uint8_t)acc;
+                }
+            } else {
+                for (int i = 0; i < m; ++i) s[i] = buf[i] == '1';
+            }
             bool conv = dec.bp(s.data());
             const uint8_t* e;
             if (conv) {
@@ -342,7 +442,9 @@ int main(int argc, char** argv) {
                 dec.osd(s.data());
                 e = dec.osdw.data();
             }
-            for (int j = 0; j < n; ++j) out[j] = e[j] ? '1' : '0';
+            // received-vector mode returns the estimated CODEWORD w ^ e
+            for (int j = 0; j < n; ++j)
+                out[j] = (e[j] ^ (received ? w[j] : 0)) ? '1' : '0';
             out[n] = '\n';
             out[n + 1] = 0;
             std::fputs(out.data(), stdout);

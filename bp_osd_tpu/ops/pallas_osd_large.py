@@ -65,14 +65,15 @@ def _osd_large_kernel(synd_ref, skip_ref, hp_hbm,
                       *, n, m, W, r, m_pad, lam, lamw, base):
     """One grid step = one sample's full eliminate + combination sweep.
 
-    Refs:
-      synd_ref  [1, m_pad] int32   syndrome bits (rows on lanes)
-      skip_ref  [1, 128]   int32   lane 0: 1 = skip this sample
+    Refs (small blocks carry 8 identical/padded sublane rows — Mosaic
+    requires block sublane dims divisible by 8; row 0 is the payload):
+      synd_ref  [8, m_pad] int32   syndrome bits (rows on lanes)
+      skip_ref  [8, 128]   int32   1 = skip this sample (all rows equal)
       hp_hbm    [B, W, m_pad] int32 (HBM) pre-permuted packed matrices
-      sred_ref  [1, m_pad] int32   reduced syndrome (e0 values at pivot rows)
-      sbest_ref [1, m_pad] int32   winner-adjusted syndrome (osdw values)
-      rowpiv_ref[1, m_pad] int32   permuted column id of row's pivot (-1)
-      meta_ref  [1, 128]   int32   lane 0: bt1, 1: bt2, 2: rank found
+      sred_ref  [8, m_pad] int32   reduced syndrome (e0 values at pivot rows)
+      sbest_ref [8, m_pad] int32   winner-adjusted syndrome (osdw values)
+      rowpiv_ref[8, m_pad] int32   permuted column id of row's pivot (-1)
+      meta_ref  [8, 128]   int32   lane 0: bt1, 1: bt2, 2: rank found
       h_scr     [W, m_pad] int32   VMEM working matrix (eliminated in place)
       pivw_smem [W]        int32   pivot-column bitmask words
       tcid_smem [>=max(lam,1)] int32  permuted ids of the first lam T cols
@@ -97,7 +98,7 @@ def _osd_large_kernel(synd_ref, skip_ref, hp_hbm,
     # VMEM reads lower poorly in Mosaic)
     skip = jnp.max(skip_ref[:, :])
     live = skip == 0
-    s0 = synd_ref[:, :]
+    s0 = synd_ref[0:1, :]  # [1, m_pad] payload row
     cp.wait()
 
     # ---- phase 1: in-place Gauss-Jordan over permuted columns ----------
@@ -247,12 +248,15 @@ def _osd_large_kernel(synd_ref, skip_ref, hp_hbm,
 
     sbest = s ^ colbits_of(bt1) ^ colbits_of(bt2)
 
-    sred_ref[:, :] = s
-    sbest_ref[:, :] = sbest
-    rowpiv_ref[:, :] = rowpiv
-    meta_ref[:, :] = jnp.where(
-        iota128 == 0, bt1,
-        jnp.where(iota128 == 1, bt2, jnp.where(iota128 == 2, rr, 0)),
+    sred_ref[:, :] = jnp.broadcast_to(s, (8, m_pad))
+    sbest_ref[:, :] = jnp.broadcast_to(sbest, (8, m_pad))
+    rowpiv_ref[:, :] = jnp.broadcast_to(rowpiv, (8, m_pad))
+    meta_ref[:, :] = jnp.broadcast_to(
+        jnp.where(
+            iota128 == 0, bt1,
+            jnp.where(iota128 == 1, bt2, jnp.where(iota128 == 2, rr, 0)),
+        ),
+        (8, 128),
     )
 
 
@@ -273,27 +277,27 @@ def _osd_large_impl(hp, synd_t, skip_t, *, n, m, W, r, m_pad, lam, lamw,
         grid=(B,),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((1, m_pad), lambda i: (i, 0),
+            pl.BlockSpec((None, 8, m_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (i, 0),
+            pl.BlockSpec((None, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, m_pad), lambda i: (i, 0),
+            pl.BlockSpec((None, 8, m_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad), lambda i: (i, 0),
+            pl.BlockSpec((None, 8, m_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad), lambda i: (i, 0),
+            pl.BlockSpec((None, 8, m_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (i, 0),
+            pl.BlockSpec((None, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, m_pad), jnp.int32),
-            jax.ShapeDtypeStruct((B, m_pad), jnp.int32),
-            jax.ShapeDtypeStruct((B, m_pad), jnp.int32),
-            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((W, m_pad), jnp.int32),
@@ -337,12 +341,22 @@ def osd_cs_large_pallas(graph, perm, synd, *, osd_order: int, skip=None,
 
     hp3 = _permuted_packed_h(graph, perm, W, m_pad, n_pad)  # [W, m_pad, B]
     hp = jnp.transpose(hp3, (2, 0, 1))  # [B, W, m_pad], batch-major for DMA
-    synd_t = jnp.pad(synd, ((0, 0), (0, m_pad - m)))
-    skip_t = jnp.broadcast_to(skip[:, None], (B, 128)).astype(jnp.int32)
+    # small per-sample blocks carry 8 sublane rows (Mosaic block minimum);
+    # row 0 is the payload, the rest zero-pad / copies
+    synd_t = jnp.pad(
+        jnp.pad(synd, ((0, 0), (0, m_pad - m)))[:, None, :],
+        ((0, 0), (0, 7), (0, 0)),
+    )
+    skip_t = jnp.broadcast_to(
+        skip[:, None, None], (B, 8, 128)
+    ).astype(jnp.int32)
 
     sred, sbest, rowpiv, meta = _osd_large_impl(
         hp, synd_t, skip_t, n=n, m=m, W=W, r=r, m_pad=m_pad, lam=lam,
         lamw=lamw, base=base, interpret=interpret,
+    )
+    sred, sbest, rowpiv, meta = (
+        sred[:, 0, :], sbest[:, 0, :], rowpiv[:, 0, :], meta[:, 0, :]
     )
 
     # scatter the compact outputs into [B, n] original-coordinate vectors:
