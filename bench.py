@@ -93,6 +93,7 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     print("bench: device ready", file=sys.stderr, flush=True)
     backend = "pallas" if on_tpu else "xla"
+    osdw_row_agreement = None  # set by the on-chip gate below
 
     # ALL decode-time constants live on device ONCE — shipping numpy
     # operators through the dispatch re-uploads megabytes per call (this
@@ -166,13 +167,27 @@ def main():
             "pallas/xla iteration-count mismatch on hardware"
         assert ((po @ H.T % 2) == sh).all(), \
             "pallas osdw violates syndromes on hardware"
-        eq = (po == xo).all(axis=1).mean()
-        # float accumulation order (grouped partial sums) can flip
-        # reliability near-ties on non-converged rows; wholesale
-        # divergence means a real kernel bug
-        assert eq >= 0.97, f"pallas/xla osdw row agreement {eq:.3f} < 0.97"
-        print(f"bench: on-chip check OK (osdw row agreement {eq:.3f})",
-              file=sys.stderr, flush=True)
+        assert ((xo @ H.T % 2) == sh).all(), \
+            "xla osdw violates syndromes on hardware"
+        eq_rows = (po == xo).all(axis=1)
+        eq = eq_rows.mean()
+        # Float accumulation order (grouped partial sums) can flip
+        # reliability near-ties on non-converged rows.  The invariance
+        # gate (round-3 VERDICT weak item 3): EVERY divergent row must be
+        # an equal-weight, syndrome-satisfying decoding — anything else is
+        # a real kernel bug, not a tie flip.  (Syndrome satisfaction of
+        # both sides is asserted above for all rows.)
+        div = np.flatnonzero(~eq_rows)
+        wp, wx = po[div].sum(axis=1), xo[div].sum(axis=1)
+        assert (wp == wx).all(), (
+            f"{int((wp != wx).sum())} divergent rows are NOT equal-weight "
+            f"(pallas {wp[wp != wx][:5]} vs xla {wx[wp != wx][:5]}): "
+            "kernel bug, not a tie flip"
+        )
+        osdw_row_agreement = float(eq)
+        print(f"bench: on-chip check OK (osdw row agreement {eq:.4f}; "
+              f"all {div.size} divergent rows equal-weight + "
+              "syndrome-satisfying)", file=sys.stderr, flush=True)
 
     print("bench: compiling...", file=sys.stderr, flush=True)
     w, conv, iters = jitted(graph_dev, batches[0], llr0, consts, bp_ops)
@@ -263,6 +278,10 @@ def main():
                 "pct_mxu_peak": round(100 * pct_mxu, 2),
                 "pct_hbm_peak": round(100 * pct_hbm, 2),
                 "bottleneck": "vpu_int_gf2_elimination+search (VMEM-resident by design)",
+                "osdw_row_agreement_pallas_vs_xla": osdw_row_agreement,
+                "divergent_rows_equal_weight_and_valid": (
+                    osdw_row_agreement is not None
+                ),
                 "batch": B,
                 "steps": STEPS,
                 "step_ms_mean": round(float(step_ms.mean()), 2),

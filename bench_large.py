@@ -179,6 +179,12 @@ def main():
 
     print("bench_large: compiling...", file=sys.stderr, flush=True)
     w, c = run_batches(batches[:1])
+    # force-compile the OSD bucket path too: the warmup batch may have no
+    # BP failures, and a first-time kernel compile inside the timed loop
+    # would otherwise dominate the measurement (all-skip = instant run)
+    osd_jit(graph, batches[0], llr0, jnp.zeros((OSD_BUCKET,), jnp.int32),
+            jnp.ones((OSD_BUCKET,), jnp.int32), consts
+            ).block_until_ready()
     print("bench_large: timing...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     w, c = run_batches(batches)

@@ -62,14 +62,16 @@ def _round_up(x: int, mult: int) -> int:
 def _osd_large_kernel(synd_ref, skip_ref, hp_hbm,
                       sred_ref, sbest_ref, rowpiv_ref, meta_ref,
                       h_scr, sem, pivw_smem, tcid_smem,
-                      *, n, m, W, r, m_pad, lam, lamw, base):
+                      *, n, m, W, W_pad, r, m_pad, lam, lamw, base):
     """One grid step = one sample's full eliminate + combination sweep.
 
     Refs (small blocks carry 8 identical/padded sublane rows — Mosaic
     requires block sublane dims divisible by 8; row 0 is the payload):
       synd_ref  [8, m_pad] int32   syndrome bits (rows on lanes)
       skip_ref  [8, 128]   int32   1 = skip this sample (all rows equal)
-      hp_hbm    [B, W, m_pad] int32 (HBM) pre-permuted packed matrices
+      hp_hbm    [B, W_pad, m_pad] int32 (HBM) pre-permuted packed matrices
+                (words padded to a multiple of 8: DMA slice dims must be
+                aligned to the (8, 128) tiling; pad words are zero)
       sred_ref  [8, m_pad] int32   reduced syndrome (e0 values at pivot rows)
       sbest_ref [8, m_pad] int32   winner-adjusted syndrome (osdw values)
       rowpiv_ref[8, m_pad] int32   permuted column id of row's pivot (-1)
@@ -268,9 +270,10 @@ def _osd_large_kernel(synd_ref, skip_ref, hp_hbm,
 def _osd_large_impl(hp, synd_t, skip_t, *, n, m, W, r, m_pad, lam, lamw,
                     base, interpret=False):
     B = synd_t.shape[0]
+    W_pad = hp.shape[1]
     kernel = functools.partial(
-        _osd_large_kernel, n=n, m=m, W=W, r=r, m_pad=m_pad, lam=lam,
-        lamw=lamw, base=base,
+        _osd_large_kernel, n=n, m=m, W=W, W_pad=W_pad, r=r, m_pad=m_pad,
+        lam=lam, lamw=lamw, base=base,
     )
     return pl.pallas_call(
         kernel,
@@ -300,7 +303,7 @@ def _osd_large_impl(hp, synd_t, skip_t, *, n, m, W, r, m_pad, lam, lamw,
             jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W, m_pad), jnp.int32),
+            pltpu.VMEM((W_pad, m_pad), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((W,), jnp.int32),
             pltpu.SMEM((max(lam, 1),), jnp.int32),
@@ -341,6 +344,9 @@ def osd_cs_large_pallas(graph, perm, synd, *, osd_order: int, skip=None,
 
     hp3 = _permuted_packed_h(graph, perm, W, m_pad, n_pad)  # [W, m_pad, B]
     hp = jnp.transpose(hp3, (2, 0, 1))  # [B, W, m_pad], batch-major for DMA
+    W_pad = _round_up(W, 8)  # DMA slices must align to the (8,128) tiling
+    if W_pad != W:
+        hp = jnp.pad(hp, ((0, 0), (0, W_pad - W), (0, 0)))
     # small per-sample blocks carry 8 sublane rows (Mosaic block minimum);
     # row 0 is the payload, the rest zero-pad / copies
     synd_t = jnp.pad(
