@@ -49,3 +49,5 @@ def test_two_process_sharded_decode():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"WORKER_OK pid={pid}" in out, out
+        # full BP+OSD+logical-stats phase crossed the host boundary too
+        assert f"WORKER_OK2 pid={pid}" in out, out
