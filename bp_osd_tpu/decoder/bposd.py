@@ -204,7 +204,14 @@ class BpDecoder:
 
         Returns ``(syndromes [B, m], received [B, n] or None)``; in
         received-vector mode decodings are ``received XOR e_hat``.
+        Device-resident syndrome arrays pass through untouched (pulling
+        them to host and re-uploading costs more than the decode through
+        a remote-device link).
         """
+        if self.input_vector_type == "syndrome" and isinstance(
+            vectors, jax.Array
+        ):
+            return vectors if vectors.ndim > 1 else vectors[None, :], None
         vectors = np.atleast_2d(np.asarray(vectors))
         if self.input_vector_type == "syndrome":
             return vectors.astype(np.uint8), None
@@ -463,7 +470,19 @@ class BpOsdDecoder(BpDecoder):
 
     def decode_batch(self, syndromes, channel_probs=None,
                      chunk_size: int = _MAX_DISPATCH,
-                     compact_osd: bool = False) -> np.ndarray:
+                     compact_osd: bool = False,
+                     outputs: str = "host") -> np.ndarray:
+        """Decode a syndrome batch; returns the osdw decodings [B, n].
+
+        ``outputs="device"`` leaves all ``*_batch`` attributes as device
+        arrays instead of numpy — the production mode when downstream
+        logical checks run on device too, and the mode ``bench_api.py``
+        measures (a [B, n] device->host pull per output array otherwise
+        dominates wall time on a remote-device link).  Chunks dispatch
+        without intermediate host syncs either way.
+        """
+        if outputs not in ("host", "device"):
+            raise ValueError(f"outputs must be host/device, got {outputs!r}")
         syndromes, received = self._resolve_input(syndromes)
         B = syndromes.shape[0]
         llr0 = self._llr0(channel_probs)
@@ -488,22 +507,28 @@ class BpOsdDecoder(BpDecoder):
                 self.graph, self._osd_graph, chunk, llr0,
                 self._osd_consts, self._bp_operators,
             )
-            outs["hard"].append(np.asarray(bp.hard))
-            outs["llr"].append(np.asarray(bp.llr))
-            outs["conv"].append(np.asarray(bp.converged))
-            outs["iters"].append(np.asarray(bp.iterations))
-            outs["osd0"].append(np.asarray(osd0))
-            outs["osdw"].append(np.asarray(osdw))
-        self.bp_decoding_batch = np.concatenate(outs["hard"])
-        self.log_prob_ratios_batch = np.concatenate(outs["llr"])
-        self.converge_batch = np.concatenate(outs["conv"])
-        self.iter_batch = np.concatenate(outs["iters"])
-        self.osd0_decoding_batch = np.concatenate(outs["osd0"])
-        self.osdw_decoding_batch = np.concatenate(outs["osdw"])
+            outs["hard"].append(bp.hard)
+            outs["llr"].append(bp.llr)
+            outs["conv"].append(bp.converged)
+            outs["iters"].append(bp.iterations)
+            outs["osd0"].append(osd0)
+            outs["osdw"].append(osdw)
+        cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs)  # noqa: E731
+        hard, llr = cat(outs["hard"]), cat(outs["llr"])
+        conv, iters = cat(outs["conv"]), cat(outs["iters"])
+        osd0, osdw = cat(outs["osd0"]), cat(outs["osdw"])
         if received is not None:
-            self.bp_decoding_batch = self.bp_decoding_batch ^ received
-            self.osd0_decoding_batch = self.osd0_decoding_batch ^ received
-            self.osdw_decoding_batch = self.osdw_decoding_batch ^ received
+            rec = jnp.asarray(received, jnp.uint8)
+            hard = (hard.astype(jnp.uint8) ^ rec)
+            osd0 = (osd0.astype(jnp.uint8) ^ rec)
+            osdw = (osdw.astype(jnp.uint8) ^ rec)
+        conv_fn = np.asarray if outputs == "host" else (lambda x: x)
+        self.bp_decoding_batch = conv_fn(hard)
+        self.log_prob_ratios_batch = conv_fn(llr)
+        self.converge_batch = conv_fn(conv)
+        self.iter_batch = conv_fn(iters)
+        self.osd0_decoding_batch = conv_fn(osd0)
+        self.osdw_decoding_batch = conv_fn(osdw)
         return self.osdw_decoding_batch
 
     def decode(self, syndrome) -> np.ndarray:

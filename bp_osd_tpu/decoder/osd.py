@@ -445,7 +445,7 @@ def osd_decode(
         return OsdResult(osd0=e0.astype(jnp.uint8), osdw=e_w.astype(jnp.uint8))
 
     if (backend == "pallas" and method == "osd_e" and 0 < osd_order
-            and min(osd_order, n - r) <= 12 and n > r and fused_ok):
+            and min(osd_order, n - r) <= 16 and n > r and fused_ok):
         # fused exhaustive search: Gray-code enumeration of the 2^order
         # patterns, one packed-column XOR per candidate, never leaving VMEM
         from ..ops.pallas_osd import osd_e_pallas

@@ -135,7 +135,8 @@ def _permuted_packed_h(graph, perm, W, m_pad, n_pad):
 def _osd_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
                 e0_ref, ew_ref,
                 h_scr, pivw_scr,
-                *, n, m, W, r, m_pad, n_sub, lam, lam_pad, lamw, mode):
+                *, n, m, W, r, m_pad, n_sub, lam, lam_pad, lamw, mode,
+                base):
     """One grid step: full eliminate + OSD candidate search for BS
     samples.  ``mode="cs"`` runs the combination sweep (weight-1 over
     all columns + weight-2 pairs over the first ``lam`` T columns);
@@ -156,7 +157,7 @@ def _osd_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
       pivw_scr  [W, 8, BS]      int32  scratch: pivot-column bitmask (row 0)
     """
     BS = synd_ref.shape[1]
-    BASE = jnp.int32(4096)  # > n + lam*lam + 2: max candidate rank
+    BASE = jnp.int32(base)  # > max candidate rank (wrapper-validated)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (m_pad, BS), 0)
     lam_iota = jax.lax.broadcasted_iota(jnp.int32, (lam_pad, BS), 0)
@@ -287,7 +288,8 @@ def _osd_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
         # candidate i's pattern is gray(i) = i ^ (i >> 1); successive
         # candidates differ in exactly one T slot, so each step is one
         # packed-column XOR.  The tie-break rank is the pattern's COUNTING
-        # index gray(i) itself (< BASE by the wrapper's lam <= 12 guard).
+        # index gray(i) itself (< BASE: the wrapper sizes the key base to
+        # cover all 2^lam patterns, lam <= 16).
         def gray_body(i, st):
             rres, best_key, best_pat = st
             g = i ^ (i >> 1)
@@ -410,18 +412,18 @@ def _osd_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "m", "W", "r", "lam", "lam_pad", "lamw", "block",
-                     "interpret", "mode"),
+                     "interpret", "mode", "base"),
 )
 def _osd_impl(h_t, synd_t, skip_t, pw_t,
               *, n, m, W, r, lam, lam_pad, lamw, block, mode="cs",
-              interpret=False):
+              base=4096, interpret=False):
     B = synd_t.shape[1]
     m_pad = synd_t.shape[0]
     grid = B // block
     n_sub = _round_up(n, 8)
     kernel = functools.partial(
         _osd_kernel, n=n, m=m, W=W, r=r, m_pad=m_pad, n_sub=n_sub,
-        lam=lam, lam_pad=lam_pad, lamw=lamw, mode=mode,
+        lam=lam, lam_pad=lam_pad, lamw=lamw, mode=mode, base=base,
     )
     e0, ew = pl.pallas_call(
         kernel,
@@ -470,18 +472,29 @@ def _osd_pallas(graph, perm, synd, *, osd_order, mode, skip=None,
     m, n, W, r = graph.m, graph.n, graph.num_words, graph.rank
     k = n - r
     lam = max(int(min(osd_order, k)), 0)
-    if mode == "cs" and n + 2 + lam * lam >= 4096:
-        raise ValueError("fused osd_cs tie-break key space exceeded")
-    if mode == "e" and lam > 12:
+    if mode == "e" and lam > 16:
         raise ValueError(
-            "fused osd_e supports order <= 12 (rank must fit the "
-            "tie-break key base); use the XLA path for deeper searches"
+            "fused osd_e supports order <= 16 (2^order Gray-code "
+            "candidates); use osd_cs for deeper searches"
         )
     lam_pad = max(_round_up(max(lam, 1), 8), 8)
     lamw = max(-(-lam // 32), 1)
     B_in = perm.shape[0]
     m_pad = _round_up(m, 128)
     n_pad = _round_up(n, 128)
+    # tie-break key base: a power of two exceeding the max candidate rank
+    # (cs: zero / 1+c over n columns / n+1+a*lam+b pairs; e: the Gray
+    # pattern's counting index < 2^lam).  Adaptive since round 4 — the old
+    # fixed 4096 capped osd_e at order 12 and osd_cs at n + lam^2 < 4094.
+    if mode == "cs":
+        base = 1 << max(int(n + lam * lam + 2).bit_length(), 12)
+    else:
+        base = max(1 << lam, 4096)
+    if (m_pad + 2) * base + 2 * _BIGKEY >= 2**31:
+        raise ValueError(
+            f"fused osd tie-break keys overflow int32 for m={m}, n={n}, "
+            f"order={osd_order}"
+        )
 
     block = min(block, _round_up(B_in, 128))
     B = _round_up(B_in, block)
@@ -508,7 +521,7 @@ def _osd_pallas(graph, perm, synd, *, osd_order, mode, skip=None,
     pw_t = jnp.transpose(pw.reshape(B, W, 32), (1, 2, 0))  # [W, 32, B]
 
     kw = dict(n=n, m=m, W=W, r=r, lam=lam, lam_pad=lam_pad, lamw=lamw,
-              block=block, mode=mode, interpret=interpret)
+              block=block, mode=mode, base=base, interpret=interpret)
     e0p, ewp = _osd_impl(h_t, synd_t, skip_t, pw_t, **kw)
 
     return e0p.T[:B_in, :n], ewp.T[:B_in, :n]
@@ -542,8 +555,10 @@ def osd_e_pallas(graph, perm, synd, *, osd_order: int, skip=None,
     columns).  All ``2^order`` candidate patterns are evaluated by
     Gray-code enumeration — one packed-column XOR per candidate — with
     tie-break identical to the XLA path (first minimum in pattern counting
-    order).  Requires ``osd_order <= 12``; same signature and return
-    contract as :func:`osd_cs_pallas`.
+    order).  Requires ``osd_order <= 16``, the same ceiling as the XLA
+    path (the order-12 key-space cap was lifted in round 4 by the adaptive
+    tie-break base); same signature and return contract as
+    :func:`osd_cs_pallas`.
     """
     return _osd_pallas(graph, perm, synd, osd_order=osd_order, mode="e",
                        skip=skip, block=block, interpret=interpret)

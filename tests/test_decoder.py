@@ -306,6 +306,30 @@ def test_decoder_class_routes_through_pipeline():
                                np.asarray(pipe.llr))
 
 
+def test_decode_batch_device_outputs():
+    """outputs='device' + device-array syndromes must match the host path
+    bit-for-bit (the bench_api.py measurement mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    surface = hgp(rep_code(3), rep_code(3))
+    H = surface.hz.toarray()
+    dec = BpOsdDecoder(H, error_rate=0.06, max_iter=13, bp_method="ms",
+                       ms_scaling_factor=0.625, osd_method="osd_cs",
+                       osd_order=4)
+    B = 24
+    errors = (RNG.random((B, 13)) < 0.1).astype(np.uint8)
+    synds = (errors @ H.T) % 2
+    host = dec.decode_batch(synds).copy()
+    host_conv = dec.converge_batch.copy()
+    dev = dec.decode_batch(jnp.asarray(synds.astype(np.uint8)),
+                           outputs="device")
+    assert isinstance(dev, jax.Array)
+    assert isinstance(dec.converge_batch, jax.Array)
+    assert np.array_equal(np.asarray(dev), host)
+    assert np.array_equal(np.asarray(dec.converge_batch), host_conv)
+
+
 def test_compact_osd_matches_fused_path():
     """compact_osd=True (OSD only on BP failures) must give the same
     decodings as the fused path."""

@@ -96,7 +96,9 @@ def test_osd_e_pallas_matches_xla():
     bp = bp_decode(g, synds, llr0, bp_method="ms", max_iter=6,
                    ms_scaling_factor=0.625)
 
-    for order in (1, 3, 7):
+    # 14 exceeds the old order-12 fused cap (lifted in round 4 by the
+    # adaptive tie-break key base) and stays within the shared ceiling 16
+    for order in (1, 3, 7, 14):
         ref = osd_decode(g, synds, bp.llr, osd_method="osd_e",
                          osd_order=order, backend="xla")
         fused = osd_decode(g, synds, bp.llr, osd_method="osd_e",
