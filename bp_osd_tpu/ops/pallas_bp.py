@@ -461,6 +461,26 @@ def bp_decode_pallas(
     if syndromes.ndim == 1:
         syndromes = syndromes[None, :]
     B_in = syndromes.shape[0]
+    # fit the block into the ~16 MiB scoped-VMEM budget: the kernel keeps
+    # the routing operators plus per-block message state (v2c carry/out,
+    # totals, outputs) resident.  Calibrated against a measured OOM: the
+    # [[625]] HGP (E=4224, n_pad=640, m_pad=512) wants 18.29 MB at
+    # block=128; the flagship (E=1792) stays at its tuned block=128.
+    dt_b = jnp.dtype(msg_dtype).itemsize
+    # static .size/.shape only: the operators arrive as TRACERS inside
+    # an enclosing jit (the sim passes them as pytree arguments)
+    ops_bytes = 4 * (
+        sum(int(e.size) for e in evs)
+        + int(np.prod(operators["h_t"].shape))
+    )
+    # 5 E-sized arrays covers the worst (resume + emit_state) variant:
+    # v2c block in (double-buffered) + carry + state out (double-buffered)
+    budget = 13 * 1024 * 1024
+    while block > 8:
+        per_block = block * (5 * E * dt_b + (6 * n_pad + 3 * m_pad) * 4)
+        if ops_bytes + int(1.4 * per_block) <= budget:
+            break
+        block //= 2
     block = min(block, _round_up(B_in, 8))
     # pad the batch to a whole number of blocks; padded rows are born
     # "converged" (skip=1), so an all-pad block exits before iteration one

@@ -20,7 +20,7 @@ from ..decoder.osd import build_osd_consts, osd_decode
 from ..decoder.tanner import TannerGraph
 from .edge_shard import ShardedTannerGraph, edge_sharded_bp_fn
 
-__all__ = ["edge_sharded_bposd_fn"]
+__all__ = ["edge_sharded_bposd_fn", "lifted_sharded_bposd_fn"]
 
 
 def edge_sharded_bposd_fn(
@@ -76,6 +76,68 @@ def edge_sharded_bposd_fn(
 
     def decode(syndromes_pad, llr0):
         hard, llr, conv = bp(syndromes_pad, llr0)
+        osdw = osd_stage(syndromes_pad[:, :m], llr, conv)
+        osdw = jnp.where(conv[:, None], hard.astype(jnp.uint8), osdw)
+        return osdw, conv
+
+    return decode
+
+
+def lifted_sharded_bposd_fn(
+    lgraph,
+    H,
+    mesh: Mesh,
+    *,
+    n_shards: int,
+    bp_method: str = "minimum_sum",
+    max_iter: int = 0,
+    ms_scaling_factor: float = 0.625,
+    osd_method: str = "osd_cs",
+    osd_order: int = 0,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """End-to-end decode for lifted-product codes: scatter-free
+    model-sharded BP (``lifted_shard.py``) + gather-to-DP OSD.
+
+    The structure-aware counterpart of :func:`edge_sharded_bposd_fn` —
+    BP routes by static cyclic shifts with a routing-tensor einsum
+    instead of ``.at[].add`` scatters, and the OSD stage skip-clusters on
+    the BP convergence flags.  Returns ``decode(syndromes_pad
+    [B, D*mpc*L], llr0 [B, n]) -> (osdw [B, n] uint8, converged [B])``.
+
+    ``H`` is the binary lift of ``lgraph`` (dense/sparse), needed only by
+    the OSD stage's Tanner layout.
+    """
+    from .lifted_shard import ShardedLiftedGraph, lifted_sharded_bp_fn
+
+    graph = TannerGraph(H)
+    consts = build_osd_consts(graph, osd_method, osd_order)
+    sg = ShardedLiftedGraph(lgraph, n_shards)
+
+    bp = lifted_sharded_bp_fn(
+        sg, mesh, bp_method=bp_method, max_iter=max_iter,
+        ms_scaling_factor=ms_scaling_factor,
+        data_axis=data_axis, model_axis=model_axis,
+    )
+
+    dp = NamedSharding(mesh, P((data_axis, model_axis)))
+
+    @jax.jit
+    def osd_stage(synd, llr, conv):
+        synd = jax.lax.with_sharding_constraint(synd, dp)
+        llr = jax.lax.with_sharding_constraint(llr, dp)
+        conv = jax.lax.with_sharding_constraint(conv, dp)
+        out = osd_decode(
+            graph, synd, llr, osd_method=osd_method, osd_order=osd_order,
+            consts=consts, skip=conv,
+        )
+        return out.osdw
+
+    m = lgraph.m
+
+    def decode(syndromes_pad, llr0):
+        hard, llr, conv, _ = bp(syndromes_pad, llr0)
         osdw = osd_stage(syndromes_pad[:, :m], llr, conv)
         osdw = jnp.where(conv[:, None], hard.astype(jnp.uint8), osdw)
         return osdw, conv

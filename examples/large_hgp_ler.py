@@ -9,7 +9,8 @@ Z-biased, adaptive min-sum, osd_cs order 42, max_iter = 0 -> N) on both
 codes and writes ``hgp_625_decode_results.json`` /
 ``hgp_900_decode_results.json`` next to the flagship artifact.
 
-Run on TPU from the repo root: ``python examples/large_hgp_ler.py [runs]``.
+Run on TPU from the repo root:
+``python examples/large_hgp_ler.py [runs] [625|900|both]``.
 """
 
 import os
@@ -33,9 +34,13 @@ def main():
     from bp_osd_tpu.sim import css_decode_sim
 
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    which = sys.argv[2] if len(sys.argv) > 2 else "both"
     here = os.path.dirname(os.path.abspath(__file__))
 
-    for name, seed_fn in (("625", mkmn_20_5_8), ("900", mkmn_24_6_10)):
+    codes = [("625", mkmn_20_5_8), ("900", mkmn_24_6_10)]
+    if which != "both":
+        codes = [c for c in codes if c[0] == which]
+    for name, seed_fn in codes:
         qcode = hgp(seed_fn())
         print(f"--- [[{qcode.N},{qcode.K}]] (hgp of mkmn seed {name}) ---",
               flush=True)

@@ -69,6 +69,56 @@ def test_lifted_sharded_matches_unsharded(bp_method):
         assert np.allclose(llr, llr_ref, atol=1e-3)
 
 
+def test_lifted_sharded_bposd_end_to_end():
+    """Scatter-free sharded BP + gather-to-DP OSD (with conv skip) must
+    reproduce the single-device BP+OSD decode."""
+    from bp_osd_tpu.decoder import TannerGraph
+    from bp_osd_tpu.decoder.osd import build_osd_consts, osd_decode
+    from bp_osd_tpu.parallel.large_code import lifted_sharded_bposd_fn
+
+    qcode = lifted_hgp(PROTO, lift=LIFT)
+    H = np.asarray(qcode.hx.toarray(), np.uint8)
+    m, n = H.shape
+    lg = LiftedGraph(qcode.hx_proto, LIFT)
+    mesh = make_2d_mesh()
+    decode = lifted_sharded_bposd_fn(
+        lg, H, mesh, n_shards=2, max_iter=12, ms_scaling_factor=0.0,
+        osd_method="osd_cs", osd_order=4,
+    )
+
+    B = 16
+    errors = (RNG.random((B, n)) < 0.06).astype(np.uint8)
+    synds = ((errors @ H.T) % 2).astype(np.uint8)
+    mpc = -(-lg.mp // 2)
+    pad = 2 * mpc * LIFT - m
+    synds_pad = np.pad(synds, ((0, 0), (0, pad)))
+    llr0 = np.broadcast_to(
+        np.asarray(llr_from_channel(np.full(n, 0.06))), (B, n)
+    ).copy()
+
+    osdw, conv = decode(synds_pad, llr0)
+    osdw, conv = np.asarray(osdw), np.asarray(conv)
+
+    ref_bp = bp_decode_lifted(lg, synds, llr0, max_iter=12,
+                              ms_scaling_factor=0.0)
+    graph = TannerGraph(H)
+    consts = build_osd_consts(graph, "osd_cs", 4)
+    ref_osd = osd_decode(graph, synds, np.asarray(ref_bp.llr),
+                         osd_method="osd_cs", osd_order=4, consts=consts)
+    ref = np.where(np.asarray(ref_bp.converged)[:, None],
+                   np.asarray(ref_bp.hard), np.asarray(ref_osd.osdw))
+
+    assert np.array_equal(conv, np.asarray(ref_bp.converged))
+    # converged rows carry the bit-identical BP decoding; OSD rows can
+    # legitimately differ where psum-order llr deltas flip a reliability
+    # near-tie (PARITY.md float caveat) — demand validity + overwhelming
+    # agreement
+    assert np.array_equal(osdw[conv], ref[conv])
+    assert np.array_equal((osdw @ H.T) % 2, synds)
+    agree = (osdw == ref).all(axis=1)
+    assert agree.mean() >= 0.9, f"row agreement {agree.mean():.2f}"
+
+
 def test_lifted_sharded_uneven_blockrows():
     """mp not divisible by the shard count: pad block-rows must be inert."""
     proto = [
