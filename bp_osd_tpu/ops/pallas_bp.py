@@ -344,12 +344,12 @@ def _bp_kernel(*refs, method, max_iter, it0, alpha_fixed, widths, slots,
     jax.jit,
     static_argnames=("method", "max_iter", "it0", "alpha_fixed", "widths",
                      "slots", "m_pad", "n_pad", "block", "resume",
-                     "emit_state", "interpret", "msg_dtype"),
+                     "emit_state", "interpret", "msg_dtype", "vmem_limit"),
 )
 def _bp_pallas_impl(synd, llr0, skip, v2c_in, ht, mask, *evs,
                     method, max_iter, it0, alpha_fixed, widths, slots,
                     m_pad, n_pad, block, resume, emit_state,
-                    interpret=False, msg_dtype="float32"):
+                    interpret=False, msg_dtype="float32", vmem_limit=None):
     B = synd.shape[0]
     grid = B // block
     wrf = sum(slots)
@@ -397,6 +397,15 @@ def _bp_pallas_impl(synd, llr0, skip, v2c_in, ht, mask, *evs,
     # plain pallas interpret (pure XLA lowering), NOT the Mosaic TPU
     # simulator: the simulator's io_callback buffer machinery deadlocks
     # under multi-device SPMD execution (shard_map on the CPU mesh)
+    kw = {}
+    if vmem_limit:
+        # large codes (e.g. the [[900,36,10]] HGP, whose routing
+        # operators alone are ~12 MB) exceed the 16 MB scoped-vmem
+        # DEFAULT; v5e has 128 MB physical VMEM, so raise the per-kernel
+        # limit instead of shrinking the block into the ground
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit)
+        )
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -404,6 +413,7 @@ def _bp_pallas_impl(synd, llr0, skip, v2c_in, ht, mask, *evs,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        **kw,
     )(*args)
 
 
@@ -461,26 +471,33 @@ def bp_decode_pallas(
     if syndromes.ndim == 1:
         syndromes = syndromes[None, :]
     B_in = syndromes.shape[0]
-    # fit the block into the ~16 MiB scoped-VMEM budget: the kernel keeps
-    # the routing operators plus per-block message state (v2c carry/out,
-    # totals, outputs) resident.  Calibrated against a measured OOM: the
-    # [[625]] HGP (E=4224, n_pad=640, m_pad=512) wants 18.29 MB at
-    # block=128; the flagship (E=1792) stays at its tuned block=128.
+    # VMEM sizing: the kernel keeps the routing operators plus per-block
+    # message state (v2c carry/in/out, totals, outputs) resident.  The
+    # flagship fits the 16 MB scoped-vmem DEFAULT at its tuned block=128;
+    # larger codes first shrink the block, then — since v5e carries
+    # 128 MB of physical VMEM — raise the per-kernel scoped limit (the
+    # [[625]]/[[900]] HGPs measured 18.3/19.5 MB wants; their operators
+    # alone reach 12 MB, which no block size can shrink away).
+    # Static .size/.shape only: the operators arrive as TRACERS inside an
+    # enclosing jit (the sim passes them as pytree arguments).
     dt_b = jnp.dtype(msg_dtype).itemsize
-    # static .size/.shape only: the operators arrive as TRACERS inside
-    # an enclosing jit (the sim passes them as pytree arguments)
     ops_bytes = 4 * (
         sum(int(e.size) for e in evs)
         + int(np.prod(operators["h_t"].shape))
     )
-    # 5 E-sized arrays covers the worst (resume + emit_state) variant:
-    # v2c block in (double-buffered) + carry + state out (double-buffered)
-    budget = 13 * 1024 * 1024
-    while block > 8:
-        per_block = block * (5 * E * dt_b + (6 * n_pad + 3 * m_pad) * 4)
-        if ops_bytes + int(1.4 * per_block) <= budget:
-            break
+
+    def vmem_est(b):
+        # 5 E-sized arrays covers the worst (resume + emit_state)
+        # variant: v2c block in (dbl-buffered) + carry + out (dbl-buf)
+        per_block = b * (5 * E * dt_b + (6 * n_pad + 3 * m_pad) * 4)
+        return ops_bytes + int(1.4 * per_block)
+
+    while block > 32 and vmem_est(block) > 40 * 1024 * 1024:
         block //= 2
+    vmem_limit = (
+        None if vmem_est(block) <= 13 * 1024 * 1024
+        else min(2 * vmem_est(block), 110 * 1024 * 1024)
+    )
     block = min(block, _round_up(B_in, 8))
     # pad the batch to a whole number of blocks; padded rows are born
     # "converged" (skip=1), so an all-pad block exits before iteration one
@@ -518,6 +535,7 @@ def bp_decode_pallas(
         alpha_fixed=float(ms_scaling_factor), widths=widths, slots=slots,
         m_pad=m_pad, n_pad=n_pad, block=block, resume=resume,
         emit_state=emit_state, interpret=interpret, msg_dtype=str(dt),
+        vmem_limit=vmem_limit,
     )
     hard, llr, conv, iters = out[:4]
 
