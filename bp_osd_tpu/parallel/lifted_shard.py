@@ -53,8 +53,13 @@ class ShardedLiftedGraph:
     """Contiguous check-BLOCK-row partition of a :class:`LiftedGraph`.
 
     Device d owns protograph rows ``[d*mpc, (d+1)*mpc)`` (empty pad rows
-    at the end).  ``route[d, e, J, s, i] = 1`` iff local row i's slot s on
-    device d routes variable block J through exponent ``exps[e]``.
+    at the end).  Routing factors over the GLOBAL list of distinct
+    ``(variable block J, shift e)`` pairs actually present in the
+    protograph — rolling one plane per USED pair instead of per
+    (exponent x block) grid point cuts the HBM traffic of the rolled
+    stacks ~3x (the v1 formulation measured 0.61x the unsharded path at
+    mesh=1 from exactly that).  ``route[d, p, s, i] = 1`` iff local row
+    i's slot s on device d is the edge ``pairs[p]``.
     """
 
     def __init__(self, lgraph: LiftedGraph, n_shards: int):
@@ -63,17 +68,17 @@ class ShardedLiftedGraph:
         mp, np_, wr = lgraph.mp, lgraph.np_, lgraph.wr
         mpc = -(-mp // self.n_shards)
         self.mp_chunk = mpc
-        exps = sorted({e for row in lgraph.edges for (_, e) in row})
-        self.exps = exps
-        E = max(len(exps), 1)
-        eidx = {e: i for i, e in enumerate(exps)}
+        pairs = sorted({(J, e) for row in lgraph.edges for (J, e) in row})
+        self.pairs = pairs
+        P = max(len(pairs), 1)
+        pidx = {p: i for i, p in enumerate(pairs)}
 
-        route = np.zeros((self.n_shards, E, np_, wr, mpc), np.float32)
+        route = np.zeros((self.n_shards, P, wr, mpc), np.float32)
         chk_mask = np.zeros((self.n_shards, wr, mpc, 1, 1), np.bool_)
         for I, row in enumerate(lgraph.edges):
             d, il = divmod(I, mpc)
             for s, (J, e) in enumerate(row):
-                route[d, eidx[e], J, s, il] = 1.0
+                route[d, pidx[(J, e)], s, il] = 1.0
                 chk_mask[d, s, il] = True
         self.route = route
         self.chk_mask = chk_mask
@@ -103,14 +108,18 @@ def lifted_sharded_bp_fn(
     L, np_, wr = lg.L, lg.np_, lg.wr
     n = lg.n
     mpc = sgraph.mp_chunk
-    exps = sgraph.exps
+    pairs = sgraph.pairs
     if max_iter == 0:
         max_iter = n
     fixed_alpha = float(ms_scaling_factor)
     adaptive = method == "minimum_sum" and fixed_alpha == 0.0
+    # static per-J pair groups for the edge->var accumulation, in pair-
+    # index order (a deterministic association, same on every device)
+    by_J = [[(p, e) for p, (J, e) in enumerate(pairs) if J == Jv]
+            for Jv in range(np_)]
 
     def local_decode(route, chk_mask, syndromes, llr0):
-        route = route[0]  # [E, np_, wr, mpc]
+        route = route[0]  # [P, wr, mpc]
         chk_mask = chk_mask[0]  # [wr, mpc, 1, 1]
         B = syndromes.shape[0]
         synd_t = jnp.transpose(
@@ -120,32 +129,34 @@ def lifted_sharded_bp_fn(
         llr0 = llr0.astype(jnp.float32)
         llr0_t = jnp.transpose(llr0.reshape(B, np_, L), (1, 2, 0))
 
-        def rolled_stack(x, sign):
-            # one static roll per DISTINCT protograph exponent
+        def rolled_stack(x):
+            # one static roll per USED (J, e) pair
             return jnp.stack(
-                [jnp.roll(x, sign * e, axis=1) for e in exps], axis=0
-            )  # [E, np_, L, B]
+                [jnp.roll(x[J], -e, axis=0) for (J, e) in pairs], axis=0
+            )  # [P, L, B]
 
         def var_to_edge(x):  # [np_, L, B] -> [wr, mpc, L, B]
             return jnp.einsum(
-                "ejsi,ejlb->silb", route, rolled_stack(x, -1),
+                "psi,plb->silb", route, rolled_stack(x),
                 preferred_element_type=jnp.float32,
             )
 
         def edge_to_var(c2v):  # [wr, mpc, L, B] -> [np_, L, B] (psummed)
             contrib = jnp.einsum(
-                "ejsi,silb->ejlb", route, c2v,
+                "psi,silb->plb", route, c2v,
                 preferred_element_type=jnp.float32,
             )
-            acc = jnp.zeros((np_, L, B), jnp.float32)
-            for ei, e in enumerate(exps):  # exponent-ascending, unrolled
-                acc = acc + jnp.roll(contrib[ei], e, axis=1)
+            acc = jnp.stack([
+                sum(jnp.roll(contrib[p], e, axis=0) for (p, e) in grp)
+                if grp else jnp.zeros((L, B), jnp.float32)
+                for grp in by_J
+            ], axis=0)
             return jax.lax.psum(acc, model_axis)
 
         def syndrome_of(hard_t):  # [np_, L, B] int32 -> [mpc, L, B]
-            rolled = rolled_stack(hard_t.astype(jnp.float32), -1)
+            rolled = rolled_stack(hard_t.astype(jnp.float32))
             sel = jnp.einsum(
-                "ejsi,ejlb->silb", route, rolled,
+                "psi,plb->silb", route, rolled,
                 preferred_element_type=jnp.float32,
             )  # exact: 0/1 selections, sums <= wr
             return jnp.sum(sel.astype(jnp.int32), axis=0) & 1
