@@ -26,70 +26,63 @@ from .css import css_code
 __all__ = ["hgp", "hgp_single"]
 
 
+def _as_seed(h):
+    """Normalize a classical seed PCM to CSR uint8."""
+    if not sp.issparse(h):
+        h = sp.csr_matrix(np.asarray(h))
+    return h.tocsr().astype(np.uint8)
+
+
+def _seed_distance(h, n_minus_r):
+    """Exact distance of a seed code; inf when the kernel is trivial."""
+    return compute_exact_code_distance(h) if n_minus_r else np.inf
+
+
 class hgp(css_code):
     def __init__(self, h1, h2=None, compute_distance: bool = False):
         super().__init__()
 
-        h1 = h1 if sp.issparse(h1) else sp.csr_matrix(np.asarray(h1))
-        h1 = h1.tocsr().astype(np.uint8)
-        h2 = h1.copy() if h2 is None else h2
-        h2 = h2 if sp.issparse(h2) else sp.csr_matrix(np.asarray(h2))
-        h2 = h2.tocsr().astype(np.uint8)
+        seeds = (_as_seed(h1), _as_seed(h1 if h2 is None else h2))
+        self.h1, self.h2 = seeds
+        shapes = [h.shape for h in seeds]
+        ranks = [gf2.rank(h) for h in seeds]
+        (self.m1, self.n1), (self.m2, self.n2) = shapes
+        self.r1, self.r2 = ranks
 
-        self.h1, self.h2 = h1, h2
-
-        # seed code parameters
-        self.m1, self.n1 = h1.shape
-        self.m2, self.n2 = h2.shape
-        self.r1 = gf2.rank(h1)
-        self.r2 = gf2.rank(h2)
-        self.k1 = self.n1 - self.r1
-        self.k1t = self.m1 - self.r1
-        self.k2 = self.n2 - self.r2
-        self.k2t = self.m2 - self.r2
-
-        # hgp block length and dimension
+        # kernel dimensions of the seeds and their transposes drive K
+        self.k1, self.k2 = (n - r for (_, n), r in zip(shapes, ranks))
+        self.k1t, self.k2t = (m - r for (m, _), r in zip(shapes, ranks))
         self.N = self.n1 * self.n2 + self.m1 * self.m2
         self.K = self.k1 * self.k2 + self.k1t * self.k2t
 
-        i_m1 = sp.identity(self.m1, format="csr", dtype=np.uint8)
-        i_n1 = sp.identity(self.n1, format="csr", dtype=np.uint8)
-        i_m2 = sp.identity(self.m2, format="csr", dtype=np.uint8)
-        i_n2 = sp.identity(self.n2, format="csr", dtype=np.uint8)
+        def eye(k):
+            return sp.identity(k, format="csr", dtype=np.uint8)
 
-        self.hx1 = sp.kron(h1, i_n2, format="csr").astype(np.uint8)
-        self.hx2 = sp.kron(i_m1, h2.T, format="csr").astype(np.uint8)
-        self.hx = sp.hstack([self.hx1, self.hx2], format="csr").astype(np.uint8)
+        def blockrow(a, b):
+            """CSR hstack of two Kronecker factors, uint8."""
+            return sp.hstack(
+                [sp.kron(*a, format="csr"), sp.kron(*b, format="csr")],
+                format="csr",
+            ).astype(np.uint8)
 
-        self.hz1 = sp.kron(i_n1, h2, format="csr").astype(np.uint8)
-        self.hz2 = sp.kron(h1.T, i_m2, format="csr").astype(np.uint8)
-        self.hz = sp.hstack([self.hz1, self.hz2], format="csr").astype(np.uint8)
+        h1s, h2s = seeds
+        self.hx = blockrow((h1s, eye(self.n2)), (eye(self.m1), h2s.T))
+        self.hz = blockrow((eye(self.n1), h2s), (h1s.T, eye(self.m2)))
+        # sector blocks of hx/hz, part of the reference attribute surface
+        self.hx1 = self.hx[:, : self.n1 * self.n2].tocsr()
+        self.hx2 = self.hx[:, self.n1 * self.n2 :].tocsr()
+        self.hz1 = self.hz[:, : self.n1 * self.n2].tocsr()
+        self.hz2 = self.hz[:, self.n1 * self.n2 :].tocsr()
 
         self.compute_logicals()
         self.compute_column_row_weights()
 
         if compute_distance:
-            self.d1 = (
-                compute_exact_code_distance(self.h1)
-                if self.n1 != self.r1
-                else np.inf
-            )
-            self.d2 = (
-                compute_exact_code_distance(self.h2)
-                if self.n2 != self.r2
-                else np.inf
-            )
-            self.d1t = (
-                compute_exact_code_distance(self.h1.T)
-                if self.m1 != self.r1
-                else np.inf
-            )
-            self.d2t = (
-                compute_exact_code_distance(self.h2.T)
-                if self.m2 != self.r2
-                else np.inf
-            )
-            self.D = int(np.min([self.d1, self.d1t, self.d2, self.d2t]))
+            self.d1 = _seed_distance(h1s, self.k1)
+            self.d2 = _seed_distance(h2s, self.k2)
+            self.d1t = _seed_distance(h1s.T, self.k1t)
+            self.d2t = _seed_distance(h2s.T, self.k2t)
+            self.D = int(min(self.d1, self.d1t, self.d2, self.d2t))
         else:
             self.D = None
 
