@@ -44,8 +44,8 @@ PROTO = [
 ]
 LIFT = 400  # N = (16 + 9) * 400 = 10000, m = 4800
 P_ERR = 0.005
-B = 128
-STEPS = 4
+B = int(os.environ.get("BENCH_LARGE_B", 128))
+STEPS = int(os.environ.get("BENCH_LARGE_STEPS", 4))
 MAX_ITER = 100
 OSD_ORDER = 15
 

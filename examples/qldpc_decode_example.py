@@ -5,7 +5,17 @@ channel at p = 0.05 with adaptive min-sum BP and osd_cs order 42.
 
 The batched TPU harness decodes thousands of syndromes per dispatch; bump
 ``target_runs``/``batch_size`` to taste.
+
+Run from the repo root with plain ``python examples/qldpc_decode_example.py``
+— do NOT set PYTHONPATH (any value of it breaks the remote-TPU plugin
+registration in this environment); the bootstrap below makes the package
+importable instead.
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bp_osd_tpu.codes import hgp, mkmn_16_4_6
 from bp_osd_tpu.sim import css_decode_sim
