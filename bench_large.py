@@ -106,24 +106,32 @@ def main():
         )
     )
     wsum_jit = jax.jit(lambda h: jnp.sum(h.astype(jnp.int32), axis=1))
+    stack_jit = jax.jit(lambda *xs: jnp.stack(xs))
+    wstack_jit = jax.jit(
+        lambda *hs: jnp.sum(jnp.stack(hs).astype(jnp.int32), axis=2)
+    )
     OSD_BUCKET = 8  # static failure-bucket size (pad/chunk to this; pads
     # carry skip=1 so the per-sample kernel exits their grid steps)
 
     def run_batches(batch_list):
         """Decode a list of syndrome batches: BP dispatches are PIPELINED
         (no host sync between batches — the remote-tunnel round trip
-        otherwise dominates wall time), then per batch only the [B]
-        convergence flags and weight sums cross the host link, and the
-        (rare at operating p) failure tail runs through host-compacted
-        OSD in fixed buckets of OSD_BUCKET (the XLA elimination is
-        batch-dense, so a small bucket beats skip flags by ~B/bucket).
-        All [B, n]-sized arrays stay device resident throughout.
+        otherwise dominates wall time), then ONE stacked transfer brings
+        all convergence flags + weight sums across the host link (one
+        fetch per array per batch cost ~8 RTTs), and the (rare at
+        operating p) failure tail runs through the per-sample streamed
+        OSD kernel in fixed buckets of OSD_BUCKET.  All [B, n]-sized
+        arrays stay device resident throughout.
         Returns (per-batch weights, n_conv)."""
         outs = [bp_jit(sd, llr0) for sd in batch_list]  # pipelined
+        # stack + reduce in jitted programs (EAGER ops through the remote
+        # tunnel cost seconds each), then two host fetches total
+        conv_all = np.asarray(stack_jit(*[o[2] for o in outs]))
+        weights_all = np.asarray(wstack_jit(*[o[0] for o in outs]))
         results, nconv = [], 0
-        for sd, (hard, llr, conv) in zip(batch_list, outs):
-            conv_h = np.asarray(conv)  # tiny transfer
-            weights = np.array(wsum_jit(hard))
+        for i, (sd, (hard, llr, conv)) in enumerate(zip(batch_list, outs)):
+            conv_h = conv_all[i]
+            weights = weights_all[i].copy()
             nconv += int(conv_h.sum())
             failed = np.flatnonzero(~conv_h)
             for lo in range(0, failed.size, OSD_BUCKET):
