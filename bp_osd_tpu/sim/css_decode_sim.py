@@ -367,6 +367,24 @@ class css_decode_sim:
                 "logical_weight": jnp.minimum(osdw_weight, osd0_weight),
             }
 
+        # multi-host (jax.distributed): per-sample outputs are sharded
+        # across processes and cannot be device_get on any one host, so
+        # reduce to fully-replicated scalars INSIDE the jit (integer sums
+        # are order-exact, so counters match the single-process run
+        # bit-for-bit); the final partial batch cannot be trimmed in this
+        # mode, so run_count may overshoot target_runs by < batch_size
+        self._multi_host = jax.process_count() > 1
+        if self._multi_host and self.use_mesh:
+            inner_batch_fn = batch_fn
+
+            def batch_fn(keys, consts):  # noqa: F811
+                stats = inner_batch_fn(keys, consts)
+                return {
+                    k: (jnp.min(v) if k == "logical_weight"
+                        else jnp.sum(v.astype(jnp.int32)))
+                    for k, v in stats.items()
+                }
+
         if self.use_mesh:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -374,6 +392,7 @@ class css_decode_sim:
 
             self._mesh = make_mesh()
             batch_shard = NamedSharding(self._mesh, P("data"))
+            self._batch_shard = batch_shard
             if backend == "pallas":
                 # shard_map: each device runs the full per-shard Pallas
                 # pipeline; outcomes stay sharded on the batch axis, so no
@@ -393,6 +412,16 @@ class css_decode_sim:
 
         def run_batch(key):
             keys = jax.random.split(key, B)
+            if self._multi_host and self.use_mesh:
+                # build a GLOBAL array from the host-identical key chain
+                # (same seed on every process): each process materializes
+                # only its addressable shards; a process-local device
+                # array cannot be resharded across hosts
+                keys_np = np.asarray(keys)
+                keys = jax.make_array_from_callback(
+                    keys_np.shape, self._batch_shard,
+                    lambda idx: keys_np[idx],
+                )
             return self._batch_jit(keys, self._sim_consts)
 
         self._batch_fn = run_batch
@@ -452,14 +481,19 @@ class css_decode_sim:
             todo = self.target_runs - self.run_count
             key, sub = jax.random.split(key)
             stats = jax.device_get(self._batch_fn(sub))
-            take = min(self.batch_size, todo)
+            if np.ndim(stats["osdw_success"]) == 0:
+                # multi-host mode: pre-reduced scalars over the FULL batch
+                take = self.batch_size
+            else:
+                take = min(self.batch_size, todo)
+                stats = {k: v[:take] for k, v in stats.items()}
             self.run_count += take
-            self.osdw_success_count += int(stats["osdw_success"][:take].sum())
-            self.osd0_success_count += int(stats["osd0_success"][:take].sum())
-            self.bp_success_count += int(stats["bp_success"][:take].sum())
-            self.bp_converge_count_x += int(stats["bp_converge_x"][:take].sum())
-            self.bp_converge_count_z += int(stats["bp_converge_z"][:take].sum())
-            batch_min_weight = int(stats["logical_weight"][:take].min())
+            self.osdw_success_count += int(np.sum(stats["osdw_success"]))
+            self.osd0_success_count += int(np.sum(stats["osd0_success"]))
+            self.bp_success_count += int(np.sum(stats["bp_success"]))
+            self.bp_converge_count_x += int(np.sum(stats["bp_converge_x"]))
+            self.bp_converge_count_z += int(np.sum(stats["bp_converge_z"]))
+            batch_min_weight = int(np.min(stats["logical_weight"]))
             if batch_min_weight < self.min_logical_weight:
                 self.min_logical_weight = batch_min_weight
 
@@ -485,7 +519,9 @@ class css_decode_sim:
                 self.runtime_readable = time.strftime(
                     "%H:%M:%S", time.gmtime(self.runtime)
                 )
-                if self.output_file is not None:
+                # multi-host: every process holds identical (globally
+                # reduced) counters; only process 0 owns the checkpoint
+                if self.output_file is not None and jax.process_index() == 0:
                     with open(self.output_file, "w+") as f:
                         print(self.output_dict(), file=f)
                 if (

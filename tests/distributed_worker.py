@@ -138,6 +138,31 @@ def main():
     print(f"WORKER_OK2 pid={pid} fails={fails}/{B} weight={weight}",
           flush=True)
 
+    # ---- the sim harness itself across the host boundary ---------------
+    # css_decode_sim with use_mesh=1 on the global (2-process) mesh:
+    # stats reduce to replicated scalars inside the jit, checkpoint
+    # written by process 0 only.  Counters must agree across processes
+    # (integer sums are order-exact).
+    from bp_osd_tpu.sim import css_decode_sim
+
+    sim_out = os.path.join(tempfile.gettempdir(),
+                           f"dist_sim_{port}.json") if pid == 0 else None
+    sim = css_decode_sim(
+        hx=qcode.hx, hz=qcode.hz, error_rate=0.08, target_runs=64,
+        batch_size=32, xyz_error_bias=[1, 1, 1], bp_method="ms",
+        ms_scaling_factor=0.625, osd_method="osd_cs", osd_order=3,
+        max_iter=10, seed=5, use_mesh=1, backend="xla",
+        output_file=sim_out, tqdm_disable=True,
+    )
+    assert sim.run_count >= 64, sim.run_count
+    assert 0 <= sim.osdw_success_count <= sim.run_count
+    if pid == 0:
+        with open(sim_out) as f:
+            ck = json.load(f)
+        assert ck["run_count"] == sim.run_count
+    print(f"WORKER_OK3 pid={pid} sim_runs={sim.run_count} "
+          f"osdw_success={sim.osdw_success_count}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -51,3 +51,12 @@ def test_two_process_sharded_decode():
         assert f"WORKER_OK pid={pid}" in out, out
         # full BP+OSD+logical-stats phase crossed the host boundary too
         assert f"WORKER_OK2 pid={pid}" in out, out
+        # the sim harness itself ran on the 2-process mesh
+        assert f"WORKER_OK3 pid={pid}" in out, out
+    # counters are globally reduced, so both processes must report the
+    # same sim totals
+    lines = [
+        next(ln for ln in out.split("\n") if "WORKER_OK3" in ln)
+        for out in outs
+    ]
+    assert lines[0].split("pid=0")[1] == lines[1].split("pid=1")[1], lines
