@@ -289,25 +289,35 @@ def _osd_kernel(synd_ref, skip_ref, pw_ref, h0_ref,
         # candidates differ in exactly one T slot, so each step is one
         # packed-column XOR.  The tie-break rank is the pattern's COUNTING
         # index gray(i) itself (< BASE: the wrapper sizes the key base to
-        # cover all 2^lam patterns, lam <= 16).
+        # cover all 2^lam patterns, lam <= 16).  The flipped slot and the
+        # running pattern weight are computed with scalar bit arithmetic —
+        # Mosaic rejects population_count on SCALARS (caught on hardware;
+        # interpret mode accepted it silently).
         def gray_body(i, st):
-            rres, best_key, best_pat = st
+            rres, best_key, best_pat, patw = st
+            x = i & -i  # gray(i) ^ gray(i-1) == the single bit 1 << ctz(i)
+            slot = (  # log2 of a power of two < 2^16, branch-free
+                ((x & 0xAAAA) != 0).astype(jnp.int32)
+                + 2 * ((x & 0xCCCC) != 0).astype(jnp.int32)
+                + 4 * ((x & 0xF0F0) != 0).astype(jnp.int32)
+                + 8 * ((x & 0xFF00) != 0).astype(jnp.int32)
+            )
             g = i ^ (i >> 1)
-            gp = (i - 1) ^ ((i - 1) >> 1)
-            slot = jax.lax.population_count((g ^ gp) - 1)
+            # the flip toggles the pattern weight by +-1
+            patw = patw + 2 * ((g >> slot) & 1) - 1
             rres = rres ^ ((buf[0] >> slot) & 1)
-            wgt = jnp.sum(rres, axis=0) + jax.lax.population_count(g)
+            wgt = jnp.sum(rres, axis=0) + patw
             key = wgt * BASE + g
             better = key < best_key
             best_key = jnp.where(better, key, best_key)
             best_pat = jnp.where(better, g, best_pat)
-            return rres, best_key, best_pat
+            return rres, best_key, best_pat, patw
 
-        _, best_key, best_pat = jax.lax.cond(
+        _, best_key, best_pat, _ = jax.lax.cond(
             live,
             lambda st: jax.lax.fori_loop(1, 1 << lam, gray_body, st),
             lambda st: st,
-            (s, best_key, best_pat),
+            (s, best_key, best_pat, jnp.int32(0)),
         )
 
     # ---- phase 3 (mode cs): weight-2 sweep over pairs of first lam T ----
