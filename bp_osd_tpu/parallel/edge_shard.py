@@ -17,7 +17,6 @@ the virtual CPU mesh used in tests.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ for n ~ 10^4 lifted-product codes) rides the same mesh on a second axis.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
