@@ -260,6 +260,11 @@ struct BpOsd {
         std::vector<uint64_t> tmp(Wr);
         int lam = std::min(osd_order, k);
         if (osd_mode == 1) {
+            // the Python side caps osd_e at order 16 (_MAX_OSD_E_ORDER);
+            // mirror the cap here — beyond it `1u << lam` with lam >= 32
+            // is undefined behavior (round-4 ADVICE item 2), and the CLI
+            // default order (42) is an osd_cs depth, not an osd_e one
+            lam = std::min(lam, 16);
             // osd_e: exhaustive over all 2^lam patterns on the first lam
             // T-positions, counting order, FIRST minimum wins ties — the
             // same candidate order as decoder/osd.py:_search_osd_e
