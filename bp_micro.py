@@ -11,7 +11,7 @@ import time
 import numpy as np
 
 B = 8192
-BLOCK = 128
+BLOCK = int(__import__("os").environ.get("BP_BLOCK", 128))
 
 
 def timeit(fn, *args, steps=10):
