@@ -98,6 +98,16 @@ def _check_update_min_sum(v2c, chk_mask, syn_sign, alpha):
     is_min = slot == amin
     min2 = jnp.min(jnp.where(is_min, _BIG, mag), axis=-1, keepdims=True)
     excl_min = jnp.where(is_min, min2, min1)
+    # Saturate at _BIG: unscaled min-sum magnitudes grow ~x2/iteration and
+    # overflow f32 around iteration ~130 (inf - inf -> NaN, destroying the
+    # OSD reliability order of exactly the never-converging rows OSD must
+    # rescue).  The serial C++ baseline saturates at 1e30 by construction
+    # (its min1/min2 seeds, native/cpu_baseline.cpp:130); capping here
+    # makes every implementation saturate identically while preserving the
+    # relative order of all sub-cap magnitudes.  The reference's double
+    # engine doesn't overflow in 400 iterations — see PARITY.md
+    # "Message saturation".
+    excl_min = jnp.minimum(excl_min, _BIG)
     return syn_sign * excl_sgn * alpha * excl_min
 
 

@@ -148,6 +148,9 @@ def bp_decode_lifted(
         is_min = slot == amin
         min2 = jnp.min(jnp.where(is_min, _BIG, mag), axis=0, keepdims=True)
         excl_min = jnp.where(is_min, min2, min1)
+        # f32 saturation cap, identical across implementations (see
+        # decoder/bp.py:_check_update_min_sum)
+        excl_min = jnp.minimum(excl_min, _BIG)
         return syn_sign * excl_sgn * alpha * excl_min
 
     def check_update_ps(v2c):

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .bp import BPResult, bp_decode
@@ -36,6 +37,43 @@ from .osd import OsdConsts, osd_decode
 from .tanner import TannerGraph
 
 __all__ = ["BpOsdBatch", "auto_stage_schedule", "decode_pipeline"]
+
+
+def _prefix_cond(B: int, nfail, fn):
+    """Dispatch ``fn(prefix)`` at the smallest static prefix covering the
+    (dynamic) failure count.
+
+    The batch is failure-clustered before every OSD / resumed-BP stage, so
+    only the first ``nfail`` rows carry work — but the stage's XLA glue
+    (argsort of LLRs, the permuted-matrix pre-pass, gathers) is
+    batch-dense and cannot block-skip like the Pallas kernels do.  A
+    ``lax.cond`` cascade over static prefixes (B/4, B/2, B) compiles
+    three sizes of the stage and executes only the smallest that covers
+    every failure: at the flagship operating point (~25% of samples reach
+    OSD) the stage runs at a quarter of the batch, and correctness never
+    depends on the failure rate (the full-batch branch is the fallback).
+
+    ``fn(prefix)`` must return outputs padded/laid out identically for
+    every prefix (same pytree of [B, ...] arrays).
+    """
+    p1, p2 = max(B // 4, 1), max(B // 2, 1)
+    if B < 1024 or p1 == p2:
+        # small dispatches: the glue is cheap and three compiles are not
+        return fn(B)
+    return jax.lax.cond(
+        nfail <= p1,
+        lambda: fn(p1),
+        lambda: jax.lax.cond(
+            nfail <= p2, lambda: fn(p2), lambda: fn(B)
+        ),
+    )
+
+
+def _pad_rows(x, B: int):
+    p = B - x.shape[0]
+    if p == 0:
+        return x
+    return jnp.pad(x, ((0, p),) + ((0, 0),) * (x.ndim - 1))
 
 
 class BpOsdBatch(NamedTuple):
@@ -130,11 +168,21 @@ def decode_pipeline(
                 jnp.arange(B, dtype=jnp.int32)
             )
             emit = s_next < max_iter
-            out2 = bp_decode_pallas(
-                graph, bp_operators, synd[order], llr0[order],
-                max_iter=int(s_next), skip=conv[order],
-                v2c_init=v2c[order], it0=s_prev, emit_state=emit, **kw
-            )
+            nfail = B - jnp.sum(conv)
+
+            def stage(prefix, s_next=s_next, emit=emit, order=order,
+                      conv=conv, v2c=v2c, s_prev=s_prev):
+                sel = order[:prefix]
+                out2 = bp_decode_pallas(
+                    graph, bp_operators, synd[sel], llr0[sel],
+                    max_iter=int(s_next), skip=conv[sel],
+                    v2c_init=v2c[sel], it0=s_prev, emit_state=emit, **kw
+                )
+                # pad to full batch: rows beyond the prefix are converged
+                # samples whose (discarded) outputs are never selected
+                return tuple(_pad_rows(o, B) for o in out2)
+
+            out2 = _prefix_cond(B, nfail, stage)
             h2, l2, c2, i2 = out2[:4]
             # every resumed failure ran to exactly s_next total
             # iterations: take its state wholesale (converged or not)
@@ -142,7 +190,7 @@ def decode_pipeline(
             hard = jnp.where(upd[:, None], h2[inv], hard)
             llr = jnp.where(upd[:, None], l2[inv], llr)
             iters = jnp.where(upd, i2[inv], iters)
-            conv = conv | c2[inv]
+            conv = conv | c2[inv].astype(bool)
             v2c = out2[4][inv] if emit else None
             s_prev = s_next
         bp = BPResult(hard=hard, llr=llr, converged=conv, iterations=iters)
@@ -151,13 +199,21 @@ def decode_pipeline(
         inv = jnp.zeros((B,), jnp.int32).at[order].set(
             jnp.arange(B, dtype=jnp.int32)
         )
-        osd = osd_decode(
-            graph, synd[order], bp.llr[order],
-            osd_method=osd_method, osd_order=osd_order, consts=consts,
-            backend="pallas", skip=bp.converged[order], interpret=interpret,
-        )
-        osdw = osd.osdw[inv]
-        osd0 = osd.osd0[inv]
+        nfail = B - jnp.sum(bp.converged)
+
+        def osd_stage(prefix):
+            sel = order[:prefix]
+            o = osd_decode(
+                graph, synd[sel], bp.llr[sel],
+                osd_method=osd_method, osd_order=osd_order, consts=consts,
+                backend="pallas", skip=bp.converged[sel],
+                interpret=interpret,
+            )
+            return _pad_rows(o.osdw, B), _pad_rows(o.osd0, B)
+
+        osdw, osd0 = _prefix_cond(B, nfail, osd_stage)
+        osdw = osdw[inv]
+        osd0 = osd0[inv]
     else:
         # NOTE (documented asymmetry): the XLA path runs straight
         # ``max_iter`` BP with per-sample freeze but no stage-1/resume

@@ -127,6 +127,12 @@ struct BpOsd {
                                   : 1.0f - std::exp2f(-(float)it);
                 for (int i = 0; i < g.m; ++i) {
                     int lo = g.chk_ptr[i], hi = g.chk_ptr[i + 1];
+                    // the 1e30f seeds double as the message SATURATION
+                    // CAP: exclusive mins never exceed them, so f32
+                    // magnitudes cannot overflow at long max_iter.  The
+                    // JAX paths apply the identical cap (decoder/bp.py
+                    // _check_update_min_sum) — load-bearing for
+                    // bit-parity, do not change independently.
                     float min1 = 1e30f, min2 = 1e30f;
                     int amin = lo, negs = 0;
                     for (int e = lo; e < hi; ++e) {

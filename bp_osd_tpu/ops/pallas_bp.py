@@ -52,6 +52,7 @@ from ..decoder.bp import normalize_bp_method
 __all__ = ["build_bp_operators", "bp_decode_pallas"]
 
 _BIG = 1e30  # python float: module-level jnp scalars become captured constants
+_BIG_BITS = int(np.float32(_BIG).view(np.int32))  # magnitude cap, as bits
 _TANH_CLIP = 1.0 - 1e-7
 
 
@@ -256,6 +257,10 @@ def _bp_kernel(*refs, method, max_iter, it0, alpha_fixed, widths, slots,
                     excl_b = fwd[s]
                 else:
                     excl_b = jnp.minimum(fwd[s], bwd[s])
+                # saturate at _BIG — identical across implementations (see
+                # decoder/bp.py:_check_update_min_sum); integer min on
+                # magnitude bits == float min
+                excl_b = jnp.minimum(excl_b, jnp.int32(_BIG_BITS))
                 excl = jax.lax.bitcast_convert_type(excl_b, jnp.float32) * alpha
                 neg = sp ^ sbits[s]
                 val = jnp.where(neg, -excl, excl)

@@ -115,8 +115,15 @@ def test_lifted_sharded_bposd_end_to_end():
     # agreement
     assert np.array_equal(osdw[conv], ref[conv])
     assert np.array_equal((osdw @ H.T) % 2, synds)
-    agree = (osdw == ref).all(axis=1)
-    assert agree.mean() >= 0.9, f"row agreement {agree.mean():.2f}"
+    # OSD rows: a psum-order llr delta may flip a reliability near-tie
+    # (PARITY.md float caveat; incidence varies with XLA cache/thread
+    # state, so a fixed agreement fraction is flaky) — but every flip
+    # must be an EQUALLY GOOD decoding: non-converged, syndrome-valid
+    # (asserted above), same weight
+    disagree = ~(osdw == ref).all(axis=1)
+    assert not (disagree & conv).any()
+    np.testing.assert_array_equal(osdw[disagree].sum(axis=1),
+                                  ref[disagree].sum(axis=1))
 
 
 def test_lifted_sharded_uneven_blockrows():

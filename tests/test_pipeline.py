@@ -109,3 +109,49 @@ def test_multi_stage_schedule_matches_single_stage():
                                   np.asarray(single.osdw))
     np.testing.assert_array_equal(np.asarray(multi.bp_hard),
                                   np.asarray(single.bp_hard))
+
+
+def test_prefix_cond_picks_smallest_covering_prefix():
+    """_prefix_cond must dispatch the B/4 / B/2 / B branch by failure
+    count, and small batches bypass the cascade entirely."""
+    import jax.numpy as jnp
+
+    from bp_osd_tpu.decoder.pipeline import _prefix_cond
+
+    B = 2048
+    fn = lambda prefix: jnp.full((B,), prefix, jnp.int32)  # noqa: E731
+    assert int(_prefix_cond(B, jnp.int32(100), fn)[0]) == 512
+    assert int(_prefix_cond(B, jnp.int32(512), fn)[0]) == 512
+    assert int(_prefix_cond(B, jnp.int32(513), fn)[0]) == 1024
+    assert int(_prefix_cond(B, jnp.int32(1025), fn)[0]) == 2048
+    assert int(_prefix_cond(512, jnp.int32(1), fn)[0]) == 512  # no cascade
+
+
+def test_pipeline_prefix_dispatch_large_batch():
+    """B >= 1024 takes the prefix-cond OSD/stage-2 branches; outputs must
+    still match the straight XLA reference exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    graph, synd, llr0 = _workload(B=1024, p=0.09, seed=9)
+    ops = build_bp_operators(graph)
+    consts = build_osd_consts(graph, "osd_cs", 3)
+    with pltpu.force_tpu_interpret_mode():
+        out = decode_pipeline(
+            graph, synd, llr0, bp_method="minimum_sum", max_iter=12,
+            ms_scaling_factor=0.625, osd_method="osd_cs", osd_order=3,
+            consts=consts, backend="pallas", bp_operators=ops,
+            stage1_iters=4,
+        )
+    bp = bp_decode(graph, synd, llr0, bp_method="minimum_sum", max_iter=12,
+                   ms_scaling_factor=0.625)
+    osd = osd_decode(graph, synd, bp.llr, osd_method="osd_cs", osd_order=3)
+    expect = np.where(np.asarray(bp.converged)[:, None], np.asarray(bp.hard),
+                      np.asarray(osd.osdw))
+    # the failure fraction at this operating point sits well under B/4,
+    # so the smallest branch runs; equality pins the pad/merge logic
+    assert (~np.asarray(bp.converged)).sum() < 256
+    np.testing.assert_array_equal(np.asarray(out.osdw), expect)
+    np.testing.assert_array_equal(np.asarray(out.converged),
+                                  np.asarray(bp.converged))
+    np.testing.assert_array_equal(np.asarray(out.iterations),
+                                  np.asarray(bp.iterations))
