@@ -70,7 +70,7 @@ def fused_osd_fits(graph, block: int = 128,
     such codes to the streamed large-code path instead
     (round-3 ADVICE item 2).
     """
-    m_pad = _round_up(graph.m, 128)
+    m_pad = max(_round_up(graph.m, 8), 8)
     n_sub = _round_up(graph.n, 8)
     W = graph.num_words
     resident = (
@@ -490,7 +490,11 @@ def _osd_pallas(graph, perm, synd, *, osd_order, mode, skip=None,
     lam_pad = max(_round_up(max(lam, 1), 8), 8)
     lamw = max(-(-lam // 32), 1)
     B_in = perm.shape[0]
-    m_pad = _round_up(m, 128)
+    # m_pad lives on SUBLANES (batch is on lanes), so only 8-alignment is
+    # required — padding to 128 would cost ~25% extra rows on EVERY
+    # vector pass of the elimination/sweep at the flagship's m=192
+    # (round-5; the pre-pass matmul M dim tolerates 1.5 MXU tiles)
+    m_pad = max(_round_up(m, 8), 8)
     n_pad = _round_up(n, 128)
     # tie-break key base: a power of two exceeding the max candidate rank
     # (cs: zero / 1+c over n columns / n+1+a*lam+b pairs; e: the Gray
