@@ -104,37 +104,48 @@ def _osd_large_kernel(synd_ref, skip_ref, hp_hbm,
     cp.wait()
 
     # ---- phase 1: in-place Gauss-Jordan over permuted columns ----------
+    # All per-sample row state (syndrome, used-row mask, pivot ids) lives
+    # in the spare sublane rows of the OUTPUT refs so every mutation can
+    # sit under pl.when(has): dependent (T) columns — ~half of all visited
+    # columns at lifted-product scale (k/n ~ 0.52) — then cost only the
+    # column-word read, one fused eligibility/min reduction, and the loop
+    # scalars.  (Round-5 also tried tail-restricted chunked updates with a
+    # compact T-matrix — 2x SLOWER on hardware: Mosaic's dynamic-bound
+    # loop overhead dwarfs the traffic saved; flat full-array ops win.)
+    sred_ref[0:1, :] = s0
+    rowpiv_ref[0:1, :] = jnp.full((1, m_pad), -1, jnp.int32)
+    rowpiv_ref[1:2, :] = jnp.zeros((1, m_pad), jnp.int32)  # used-row mask
+
     def step(carry):
-        t, s, used, rowpiv, rr = carry
+        t, rr = carry
         w = jnp.minimum(t >> 5, W - 1)
         bit = t & 31
         hw = h_scr[pl.ds(w, 1), :]  # [1, m_pad] dynamic sublane read
         colbits = (hw >> bit) & 1
 
-        elig = (colbits == 1) & (used == 0) & valid
-        has = jnp.any(elig) & (rr < r) & (t < n)
+        elig = (colbits == 1) & (rowpiv_ref[1:2, :] == 0) & valid
+        # fused has/argmin: one cross-lane reduction for both
         pr = jnp.min(jnp.where(elig, lane, jnp.int32(2**30)))
-        ohm = -((lane == pr) & has).astype(jnp.int32)  # [1, m_pad]
-
-        # pivot row's packed words: masked cross-lane reduction
-        piv = jnp.sum(h_scr[:, :] & ohm, axis=1, keepdims=True)  # [W, 1]
-        s_piv = jnp.sum(s & ohm)  # scalar
-        elimm = -((colbits == 1) & (ohm == 0) & has).astype(jnp.int32)
-
-        h_scr[:, :] = h_scr[:, :] ^ (piv & elimm)
-        s = s ^ (elimm & s_piv)
-
-        rowpiv = jnp.where(ohm != 0, t, rowpiv)
-        used = used | (ohm & 1)
+        has = (pr < jnp.int32(2**30)) & (rr < r) & (t < n)
 
         @pl.when(has)
         def _():
+            ohm = -((lane == pr)).astype(jnp.int32)  # [1, m_pad]
+            elimm = -((colbits == 1) & (ohm == 0)).astype(jnp.int32)
+            hall = h_scr[:, :]
+            piv = jnp.sum(hall & ohm, axis=1, keepdims=True)  # [W, 1]
+            h_scr[:, :] = hall ^ (piv & elimm)
+            sr = sred_ref[0:1, :]
+            s_piv = jnp.sum(sr & ohm)  # scalar
+            sred_ref[0:1, :] = sr ^ (elimm & s_piv)
+            rowpiv_ref[0:1, :] = jnp.where(ohm != 0, t, rowpiv_ref[0:1, :])
+            rowpiv_ref[1:2, :] = rowpiv_ref[1:2, :] | (ohm & 1)
             pivw_smem[w] = pivw_smem[w] | (jnp.int32(1) << bit)
 
-        return t + 1, s, used, rowpiv, rr + has.astype(jnp.int32)
+        return t + 1, rr + has.astype(jnp.int32)
 
     def unfinished(carry):
-        t, rr = carry[0], carry[4]
+        t, rr = carry
         return (t < n) & (rr < r)
 
     # the exit test costs a scalar sync; run CHUNK columns per check
@@ -144,14 +155,9 @@ def _osd_large_kernel(synd_ref, skip_ref, hp_hbm,
     def chunk(carry):
         return jax.lax.fori_loop(0, CHUNK, lambda _, c: step(c), carry)
 
-    init = (
-        jnp.int32(0),
-        s0,
-        jnp.zeros((1, m_pad), jnp.int32),
-        jnp.full((1, m_pad), -1, jnp.int32),
-        skip * r,
-    )
-    _, s, used, rowpiv, rr = jax.lax.while_loop(unfinished, chunk, init)
+    _, rr = jax.lax.while_loop(unfinished, chunk, (jnp.int32(0), skip * r))
+    s = sred_ref[0:1, :]
+    rowpiv = rowpiv_ref[0:1, :]
 
     # ---- phase 2: weight-1 sweep over all columns + T-column collect ----
     w0 = jnp.sum(s & valid.astype(jnp.int32))
