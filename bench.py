@@ -59,8 +59,9 @@ REFERENCE_CPU_SYNDROMES_PER_SEC = _baseline_synd_per_sec()
 P = 0.05
 MAX_ITER = 400  # reference max_iter=0 -> N
 STAGE1 = tuple(
-    int(s) for s in os.environ.get("BENCH_STAGE1", "32,96").split(",")
-)  # multi-stage resume schedule (on-chip tuned)
+    int(s) for s in os.environ.get("BENCH_STAGE1", "24,96").split(",")
+)  # multi-stage resume schedule (on-chip tuned; r5 sweep: (24,96) edges
+# out (32,96) by ~1% with the prefix-cond dispatch in place)
 OSD_ORDER = 42
 B = int(os.environ.get("BENCH_B", 16384))  # syndromes per dispatch
 STEPS = 24  # timed dispatches, distinct batches (cycled)

@@ -88,14 +88,14 @@ class BpOsdBatch(NamedTuple):
 def auto_stage_schedule(max_iter: int) -> tuple[int, ...]:
     """Derive a multi-stage BP resume schedule from the iteration cap.
 
-    The stage caps follow the on-chip-tuned flagship point — ``(32, 96)``
-    for ``max_iter = 400`` (``bench.py``) — scaled as ``max_iter/12`` and
-    ``max_iter/4`` and floored to multiples of 8 (Pallas sublane tiling).
-    ``decode_pipeline`` drops caps >= ``max_iter``, so short runs degrade
-    gracefully to fewer stages.
+    The stage caps follow the on-chip-tuned flagship point — ``(24, 96)``
+    for ``max_iter = 400`` (``bench.py``, round-5 sweep) — scaled as
+    ``max_iter/16`` and ``max_iter/4`` and floored to multiples of 8
+    (Pallas sublane tiling).  ``decode_pipeline`` drops caps >=
+    ``max_iter``, so short runs degrade gracefully to fewer stages.
     """
     mi = int(max_iter)
-    caps = sorted({max(8, mi // 12 // 8 * 8), max(16, mi // 4 // 8 * 8)})
+    caps = sorted({max(8, mi // 16 // 8 * 8), max(16, mi // 4 // 8 * 8)})
     return tuple(c for c in caps if c < mi) or (mi,)
 
 
