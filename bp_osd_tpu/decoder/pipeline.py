@@ -55,18 +55,27 @@ def _prefix_cond(B: int, nfail, fn):
 
     ``fn(prefix)`` must return outputs padded/laid out identically for
     every prefix (same pytree of [B, ...] arrays).
+
+    Tiers are eighths of the batch (B/4, 3B/8, B/2, 5B/8, B): at the
+    flagship operating point the stage-2 failure rate (~50%) and the
+    OSD failure rate (~25%) both sit ON a quarter boundary, so
+    quarter-only tiers forced the 2x-cost fallback on roughly half the
+    dispatches.
     """
-    p1, p2 = max(B // 4, 1), max(B // 2, 1)
-    if B < 1024 or p1 == p2:
-        # small dispatches: the glue is cheap and three compiles are not
+    if B < 1024 or B % 8:
+        # small dispatches: the glue is cheap and extra compiles are not
         return fn(B)
-    return jax.lax.cond(
-        nfail <= p1,
-        lambda: fn(p1),
-        lambda: jax.lax.cond(
-            nfail <= p2, lambda: fn(p2), lambda: fn(B)
-        ),
-    )
+    tiers = [B // 4, 3 * B // 8, B // 2, 5 * B // 8]
+
+    def dispatch(i):
+        if i == len(tiers):
+            return fn(B)
+        return jax.lax.cond(
+            nfail <= tiers[i], lambda: fn(tiers[i]),
+            lambda: dispatch(i + 1),
+        )
+
+    return dispatch(0)
 
 
 def _pad_rows(x, B: int):

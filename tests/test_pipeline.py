@@ -122,8 +122,10 @@ def test_prefix_cond_picks_smallest_covering_prefix():
     fn = lambda prefix: jnp.full((B,), prefix, jnp.int32)  # noqa: E731
     assert int(_prefix_cond(B, jnp.int32(100), fn)[0]) == 512
     assert int(_prefix_cond(B, jnp.int32(512), fn)[0]) == 512
-    assert int(_prefix_cond(B, jnp.int32(513), fn)[0]) == 1024
-    assert int(_prefix_cond(B, jnp.int32(1025), fn)[0]) == 2048
+    assert int(_prefix_cond(B, jnp.int32(513), fn)[0]) == 768
+    assert int(_prefix_cond(B, jnp.int32(769), fn)[0]) == 1024
+    assert int(_prefix_cond(B, jnp.int32(1025), fn)[0]) == 1280
+    assert int(_prefix_cond(B, jnp.int32(1281), fn)[0]) == 2048
     assert int(_prefix_cond(512, jnp.int32(1), fn)[0]) == 512  # no cascade
 
 
