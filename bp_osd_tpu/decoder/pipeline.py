@@ -47,20 +47,16 @@ def _prefix_cond(B: int, nfail, fn):
     only the first ``nfail`` rows carry work — but the stage's XLA glue
     (argsort of LLRs, the permuted-matrix pre-pass, gathers) is
     batch-dense and cannot block-skip like the Pallas kernels do.  A
-    ``lax.cond`` cascade over static prefixes (B/4, B/2, B) compiles
-    three sizes of the stage and executes only the smallest that covers
-    every failure: at the flagship operating point (~25% of samples reach
-    OSD) the stage runs at a quarter of the batch, and correctness never
-    depends on the failure rate (the full-batch branch is the fallback).
+    ``lax.cond`` cascade over static prefix tiers (B/4, 3B/8, B/2, 5B/8,
+    B) compiles one stage per tier and executes only the smallest that
+    covers every failure; correctness never depends on the failure rate
+    (the full-batch branch is the fallback).  Eighth-granularity matters:
+    the flagship's stage-2 (~50%) and OSD (~25%) failure rates sit ON
+    quarter boundaries, where quarter-only tiers fell back to the next
+    2x-cost tier on roughly half the dispatches.
 
     ``fn(prefix)`` must return outputs padded/laid out identically for
     every prefix (same pytree of [B, ...] arrays).
-
-    Tiers are eighths of the batch (B/4, 3B/8, B/2, 5B/8, B): at the
-    flagship operating point the stage-2 failure rate (~50%) and the
-    OSD failure rate (~25%) both sit ON a quarter boundary, so
-    quarter-only tiers forced the 2x-cost fallback on roughly half the
-    dispatches.
     """
     if B < 1024 or B % 8:
         # small dispatches: the glue is cheap and extra compiles are not
