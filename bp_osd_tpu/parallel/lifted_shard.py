@@ -111,6 +111,32 @@ def lifted_sharded_bp_fn(
     pairs = sgraph.pairs
     if max_iter == 0:
         max_iter = n
+
+    if sgraph.n_shards == 1:
+        # TP=1 specialization: with one model shard the SPMD-uniformity
+        # machinery (rolled pair stacks + routing-tensor einsum) buys
+        # nothing and costs ~3.7x the unsharded in-register shifts per
+        # iteration (measured r5, bench_lifted_shard.py with run-unique
+        # never-converging batches — the r4 "1.15" figure was a dedup/
+        # early-exit measurement artifact).  Route straight to the
+        # unsharded shift-routed kernel under a data-only shard_map;
+        # interface (padded syndromes, output tuple) unchanged.
+        from ..decoder.lifted_bp import bp_decode_lifted
+
+        def local_plain(syndromes_pad, llr0):
+            bp = bp_decode_lifted(
+                lg, syndromes_pad[:, : lg.m], llr0, bp_method=bp_method,
+                max_iter=max_iter, ms_scaling_factor=ms_scaling_factor,
+            )
+            return bp.hard, bp.llr, bp.converged, bp.iterations
+
+        mapped1 = shard_map(
+            local_plain, mesh=mesh,
+            in_specs=(P(data_axis), P(data_axis)),
+            out_specs=(P(data_axis),) * 4,
+            check_vma=False,
+        )
+        return jax.jit(mapped1)
     fixed_alpha = float(ms_scaling_factor)
     adaptive = method == "minimum_sum" and fixed_alpha == 0.0
     # static per-J pair groups for the edge->var accumulation, in pair-

@@ -157,3 +157,36 @@ def test_lifted_sharded_uneven_blockrows():
                            ms_scaling_factor=0.625)
     assert np.array_equal(np.asarray(conv), np.asarray(ref.converged))
     assert np.array_equal(np.asarray(hard), np.asarray(ref.hard))
+
+
+def test_lifted_sharded_nshards1_is_unsharded_kernel():
+    """TP=1 specialization: n_shards=1 must route through the unsharded
+    shift-routed kernel — the routing-einsum formulation costs ~3.7x per
+    iteration for nothing at one shard (r5 measurement,
+    bench_lifted_shard.py).  Hard/conv/iters exact; llr to ULP tolerance
+    (the same jaxpr compiles with different fusion inside shard_map)."""
+    qcode = lifted_hgp(PROTO, lift=LIFT)
+    H = np.asarray(qcode.hx.toarray(), np.uint8)
+    m, n = H.shape
+    lg = LiftedGraph(qcode.hx_proto, LIFT)
+    mesh = make_2d_mesh(data=8, model=1)
+    sg = ShardedLiftedGraph(lg, n_shards=1)
+    decode = lifted_sharded_bp_fn(sg, mesh, bp_method="minimum_sum",
+                                  max_iter=15, ms_scaling_factor=0.0)
+    B = 16
+    errors = (RNG.random((B, n)) < 0.05).astype(np.uint8)
+    synds = ((errors @ H.T) % 2).astype(np.uint8)
+    pad = sg.n_shards * sg.mp_chunk * LIFT - m
+    synds_pad = np.pad(synds, ((0, 0), (0, pad)))
+    llr0 = np.broadcast_to(
+        np.asarray(llr_from_channel(np.full(n, 0.05))), (B, n)
+    ).copy()
+    hard, llr, conv, iters = decode(synds_pad, llr0)
+    ref = bp_decode_lifted(lg, synds, llr0, bp_method="minimum_sum",
+                           max_iter=15, ms_scaling_factor=0.0)
+    np.testing.assert_array_equal(np.asarray(hard), np.asarray(ref.hard))
+    np.testing.assert_array_equal(np.asarray(conv), np.asarray(ref.converged))
+    np.testing.assert_array_equal(np.asarray(iters),
+                                  np.asarray(ref.iterations))
+    np.testing.assert_allclose(np.asarray(llr), np.asarray(ref.llr),
+                               rtol=1e-4, atol=1e-5)
