@@ -2,10 +2,14 @@
 unsharded shift-routed path (round-3 VERDICT weak item 5 "done" bar: the
 sharded program must show no slowdown on one chip).
 
-Same [[10000,420]] lifted-product workload as ``bench_large.py``, BP only
-(the sharded path is a BP formulation; OSD is gather-to-DP and identical).
-Dispatches are pipelined with one final sync (tunnel RTT discipline).
-Prints one JSON line; recorded in BASELINE.md, not a driver headline.
+Same [[10000,420]] lifted-product workload as ``bench_large.py``.  The
+ratio A/B uses run-unique NEVER-CONVERGING syndromes so it compares
+per-iteration cost (r5: batch cycling + the all-converged early exit
+made the old measurement a lottery).  Also runs the end-to-end
+``lifted_sharded_bposd_fn`` (BP + Pallas OSD under shard_map) once on
+hardware as a compile/validity gate.  Dispatches are pipelined with one
+final host-fetch sync (tunnel RTT discipline).  Prints one JSON line;
+recorded in BASELINE.md, not a driver headline.
 """
 
 import json
