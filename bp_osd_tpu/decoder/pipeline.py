@@ -81,6 +81,23 @@ def _pad_rows(x, B: int):
     return jnp.pad(x, ((0, p),) + ((0, 0),) * (x.ndim - 1))
 
 
+def _partition_order(conv):
+    """Failure-clustered order + inverse: non-converged rows first, each
+    group in original index order — bit-identical to
+    ``argsort(conv.astype(int32), stable=True)`` for a boolean key, at
+    O(B) cumsum/scatter cost instead of an O(B log^2 B) sort network
+    (three boundaries per dispatch pay this)."""
+    B = conv.shape[0]
+    c = conv.astype(jnp.int32)
+    nfail = B - jnp.sum(c)
+    # destination position of each row under the stable partition
+    pos = jnp.where(conv, nfail + jnp.cumsum(c) - 1,
+                    jnp.cumsum(1 - c) - 1)
+    iota = jnp.arange(B, dtype=jnp.int32)
+    order = jnp.zeros((B,), jnp.int32).at[pos].set(iota)
+    return order, pos  # pos IS the inverse permutation
+
+
 class BpOsdBatch(NamedTuple):
     osdw: jnp.ndarray  # [B, n] uint8 final decoding (BP if converged)
     osd0: jnp.ndarray  # [B, n] uint8 OSD-0 decoding (BP if converged)
@@ -166,12 +183,7 @@ def decode_pipeline(
         for s_next in caps[1:] + [int(max_iter)]:
             if s_prev >= max_iter:
                 break
-            order = jnp.argsort(conv.astype(jnp.int32), stable=True)
-            # inverse permutation by scatter: O(B) vs a second
-            # O(B log^2 B) sort network
-            inv = jnp.zeros((B,), jnp.int32).at[order].set(
-                jnp.arange(B, dtype=jnp.int32)
-            )
+            order, inv = _partition_order(conv)
             emit = s_next < max_iter
             nfail = B - jnp.sum(conv)
 
@@ -200,10 +212,7 @@ def decode_pipeline(
             s_prev = s_next
         bp = BPResult(hard=hard, llr=llr, converged=conv, iterations=iters)
 
-        order = jnp.argsort(bp.converged.astype(jnp.int32), stable=True)
-        inv = jnp.zeros((B,), jnp.int32).at[order].set(
-            jnp.arange(B, dtype=jnp.int32)
-        )
+        order, inv = _partition_order(bp.converged)
         nfail = B - jnp.sum(bp.converged)
 
         def osd_stage(prefix):
